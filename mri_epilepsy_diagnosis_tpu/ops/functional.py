@@ -1,0 +1,357 @@
+"""TPU-first functional ops with PyTorch-compatible numerics.
+
+Layout policy: all volumetric activations are **channels-last** —
+``(N, D, H, W, C)`` — which is what XLA tiles best onto the TPU MXU/VPU.
+Weights are ``(D, H, W, I, O)`` (``DHWIO``).  The reference's cuDNN calls are
+NCDHW/OIDHW; the interop importer transposes once at load time
+(`interop/torch_import.py`), so runtime never pays a layout tax.
+
+Numerics match PyTorch where the reference depends on them (conv padding
+conventions, transpose-conv as gradient-of-conv, Upsample align_corners
+semantics, BatchNorm eps/momentum) — required for the `.pth` parity target
+(BASELINE.md: Dice/AUC within 0.5%).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _triple(v):
+    if isinstance(v, (tuple, list)):
+        if len(v) != 3:
+            raise ValueError(f"expected length-3 tuple, got {v}")
+        return tuple(int(x) for x in v)
+    return (int(v),) * 3
+
+
+def _pair(v):
+    if isinstance(v, (tuple, list)):
+        return tuple(int(x) for x in v)
+    return (int(v),) * 2
+
+
+CONV3D_DIMS = lax.conv_dimension_numbers(
+    (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NDHWC", "DHWIO", "NDHWC")
+)
+CONV2D_DIMS = lax.conv_dimension_numbers(
+    (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
+)
+
+
+def _precision_for(dtype):
+    """float32 inputs contract at HIGHEST (true f32 — required for `.pth`
+    output parity); bfloat16 inputs use the native MXU bf16 x bf16 -> f32
+    path, which is the performance mode."""
+    if dtype == jnp.float32 or dtype == jnp.float64:
+        return lax.Precision.HIGHEST
+    return lax.Precision.DEFAULT
+
+
+# ---------------------------------------------------------------------------
+# convolutions
+# ---------------------------------------------------------------------------
+
+def conv3d(x, w, b=None, *, stride=1, padding=0, dilation=1, groups=1,
+           preferred_dtype=jnp.float32):
+    """3D convolution, torch `F.conv3d` semantics.
+
+    x: (N, D, H, W, Cin)   w: (kD, kH, kW, Cin//groups, Cout)   b: (Cout,)
+    `padding` is symmetric per-axis (int or 3-tuple), like torch.
+    """
+    stride, dilation = _triple(stride), _triple(dilation)
+    pad = [(p, p) for p in _triple(padding)]
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=stride,
+        padding=pad,
+        rhs_dilation=dilation,
+        dimension_numbers=CONV3D_DIMS,
+        feature_group_count=groups,
+        preferred_element_type=preferred_dtype,
+        precision=_precision_for(x.dtype),
+    )
+    y = y.astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def conv2d(x, w, b=None, *, stride=1, padding=0, dilation=1, groups=1,
+           preferred_dtype=jnp.float32):
+    """2D convolution, torch `F.conv2d` semantics. x: (N,H,W,C), w: (kH,kW,I,O)."""
+    stride, dilation = _pair(stride), _pair(dilation)
+    pad = [(p, p) for p in _pair(padding)]
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=stride,
+        padding=pad,
+        rhs_dilation=dilation,
+        dimension_numbers=CONV2D_DIMS,
+        feature_group_count=groups,
+        preferred_element_type=preferred_dtype,
+        precision=_precision_for(x.dtype),
+    )
+    y = y.astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def conv3d_transpose(x, w, b=None, *, stride=1, padding=0, output_padding=0,
+                     dilation=1, preferred_dtype=jnp.float32):
+    """3D transposed convolution, torch `nn.ConvTranspose3d` semantics.
+
+    Implemented as the mathematically equivalent fractionally-strided forward
+    conv (input dilation = stride, spatially flipped kernel) so XLA lowers it
+    straight onto the MXU.
+
+    w: (kD, kH, kW, Cout, Cin) — i.e. the torch (Cin, Cout, kD, kH, kW) weight
+    transposed to put Cout in the "I" slot *before* the flip/swap below.
+    The importer stores transpose-conv weights already flipped+swapped as
+    (kD,kH,kW, Cin, Cout) ready for `conv3d`; this function accepts the raw
+    layout and does the flip itself.
+    """
+    stride = _triple(stride)
+    padding = _triple(padding)
+    output_padding = _triple(output_padding)
+    dilation = _triple(dilation)
+    k = w.shape[:3]
+    # flip spatial axes; (kD,kH,kW,Cout,Cin) -> (kD,kH,kW,Cin,Cout)
+    w_eq = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+    pad = [
+        (dilation[i] * (k[i] - 1) - padding[i],
+         dilation[i] * (k[i] - 1) - padding[i] + output_padding[i])
+        for i in range(3)
+    ]
+    y = lax.conv_general_dilated(
+        x, w_eq,
+        window_strides=(1, 1, 1),
+        padding=pad,
+        lhs_dilation=stride,
+        rhs_dilation=dilation,
+        dimension_numbers=CONV3D_DIMS,
+        preferred_element_type=preferred_dtype,
+        precision=_precision_for(x.dtype),
+    )
+    y = y.astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def dense(x, w, b=None):
+    """x @ w (+ b) with dtype-aware precision (f32 -> HIGHEST)."""
+    y = jnp.matmul(x, w.astype(x.dtype), precision=_precision_for(x.dtype))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# pooling
+# ---------------------------------------------------------------------------
+
+def maxpool3d(x, kernel=2, stride=None, padding=0):
+    """torch `nn.MaxPool3d` semantics (floor mode). x: (N,D,H,W,C)."""
+    kernel = _triple(kernel)
+    stride = kernel if stride is None else _triple(stride)
+    padding = _triple(padding)
+    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+           else jnp.iinfo(x.dtype).min)
+    return lax.reduce_window(
+        x, neg, lax.max,
+        window_dimensions=(1, *kernel, 1),
+        window_strides=(1, *stride, 1),
+        padding=((0, 0), *[(p, p) for p in padding], (0, 0)),
+    )
+
+
+def maxpool2d(x, kernel=2, stride=None, padding=0):
+    kernel = _pair(kernel)
+    stride = kernel if stride is None else _pair(stride)
+    padding = _pair(padding)
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max,
+        window_dimensions=(1, *kernel, 1),
+        window_strides=(1, *stride, 1),
+        padding=((0, 0), *[(p, p) for p in padding], (0, 0)),
+    )
+
+
+def avgpool3d(x, kernel=2, stride=None):
+    kernel = _triple(kernel)
+    stride = kernel if stride is None else _triple(stride)
+    s = lax.reduce_window(
+        x, 0.0, lax.add,
+        window_dimensions=(1, *kernel, 1),
+        window_strides=(1, *stride, 1),
+        padding="VALID",
+    )
+    return s / float(np.prod(kernel))
+
+
+# ---------------------------------------------------------------------------
+# resize — separable interpolation as matmuls (MXU-friendly)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _linear_matrix(in_size: int, out_size: int, align_corners: bool):
+    """(out, in) 1-D linear interpolation matrix, PyTorch conventions."""
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    if out_size == 1:
+        # torch: single output sample takes source index 0 (align True)
+        # or the half-pixel mapped index (align False)
+        if align_corners or in_size == 1:
+            m[0, 0] = 1.0
+            return m
+    o = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        src = o * (in_size - 1) / max(out_size - 1, 1)
+    else:
+        src = (o + 0.5) * in_size / out_size - 0.5
+        src = np.clip(src, 0.0, in_size - 1)
+    i0 = np.floor(src).astype(np.int64)
+    i0 = np.clip(i0, 0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    t = (src - i0).astype(np.float64)
+    m[np.arange(out_size), i0] += (1.0 - t)
+    m[np.arange(out_size), i1] += t
+    return m.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_matrix(in_size: int, out_size: int):
+    """(out, in) nearest-neighbor matrix, torch `mode='nearest'` (floor)."""
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    # torch computes the source index in float32; match its rounding
+    scale = np.float32(in_size / out_size)
+    src = np.floor(np.arange(out_size, dtype=np.float32) * scale).astype(np.int64)
+    src = np.clip(src, 0, in_size - 1)
+    m[np.arange(out_size), src] = 1.0
+    return m
+
+
+def _apply_axis_matrix(x, m, axis):
+    """Contract axis `axis` of x with interpolation matrix m (out, in)."""
+    x = jnp.moveaxis(x, axis, -1)
+    y = jnp.einsum("...i,oi->...o", x, jnp.asarray(m, x.dtype),
+                   preferred_element_type=x.dtype,
+                   precision=_precision_for(x.dtype))
+    return jnp.moveaxis(y, -1, axis)
+
+
+def resize_linear(x, out_spatial: Sequence[int], *, align_corners: bool = False):
+    """Tri/bi-linear resize of (N, *spatial, C), PyTorch Upsample semantics.
+
+    Separable per-axis interpolation expressed as small dense matmuls, which
+    XLA maps onto the MXU — far faster on TPU than gather-based resampling.
+    """
+    spatial_axes = range(1, x.ndim - 1)
+    for ax, out_sz in zip(spatial_axes, out_spatial):
+        in_sz = x.shape[ax]
+        if in_sz != out_sz:
+            x = _apply_axis_matrix(x, _linear_matrix(in_sz, out_sz, align_corners), ax)
+    return x
+
+
+def resize_nearest(x, out_spatial: Sequence[int]):
+    """Nearest resize of (N, *spatial, C), torch `mode='nearest'` semantics."""
+    spatial_axes = range(1, x.ndim - 1)
+    for ax, out_sz in zip(spatial_axes, out_spatial):
+        in_sz = x.shape[ax]
+        if in_sz != out_sz:
+            x = _apply_axis_matrix(x, _nearest_matrix(in_sz, out_sz), ax)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# normalization / activation
+# ---------------------------------------------------------------------------
+
+def prelu(x, a):
+    """PReLU with torch shared-parameter semantics (`num_parameters=1`)."""
+    a = jnp.asarray(a, x.dtype)
+    return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+
+
+def batch_norm(x, mean, var, gamma, beta, eps=1e-5):
+    """Normalize channels-last x with given statistics (eval-mode BN)."""
+    inv = lax.rsqrt(var.astype(jnp.float32) + eps).astype(x.dtype)
+    return (x - mean.astype(x.dtype)) * inv * gamma.astype(x.dtype) + beta.astype(x.dtype)
+
+
+def instance_norm(x, gamma=None, beta=None, eps=1e-5):
+    """torch `nn.InstanceNorm3d` (affine optional, no running stats).
+
+    Normalizes each (N, C) slice over the spatial dims. x: (N, *spatial, C).
+    """
+    axes = tuple(range(1, x.ndim - 1))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+    y = (x - mean) * lax.rsqrt(var + eps)
+    if gamma is not None:
+        y = y * gamma.astype(y.dtype)
+    if beta is not None:
+        y = y + beta.astype(y.dtype)
+    return y
+
+
+def group_norm(x, num_groups, gamma=None, beta=None, eps=1e-5):
+    """torch `nn.GroupNorm` semantics. x: (N, *spatial, C)."""
+    n = x.shape[0]
+    c = x.shape[-1]
+    g = num_groups
+    xg = x.reshape(n, -1, g, c // g)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
+    y = ((xg - mean) * lax.rsqrt(var + eps)).reshape(x.shape)
+    if gamma is not None:
+        y = y * gamma.astype(y.dtype)
+    if beta is not None:
+        y = y + beta.astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# shape utilities
+# ---------------------------------------------------------------------------
+
+def pad_to(x, target_spatial, mode="constant", value=0.0):
+    """Symmetrically pad spatial dims of (N, *spatial, C) up to target."""
+    pads = [(0, 0)]
+    for ax, tgt in zip(range(1, x.ndim - 1), target_spatial):
+        extra = max(0, tgt - x.shape[ax])
+        pads.append((extra // 2, extra - extra // 2))
+    pads.append((0, 0))
+    if all(p == (0, 0) for p in pads):
+        return x
+    return jnp.pad(x, pads, mode=mode, constant_values=value)
+
+
+def crop_or_pad(x, target_spatial, value=0.0):
+    """torchio CropOrPad semantics on (N, *spatial, C): center crop then pad.
+
+    torchio crops/pads symmetrically around the volume center; extra odd voxel
+    goes to the far side (matches torchio's floor-centered bounds).
+    """
+    # crop
+    slices = [slice(None)]
+    for ax, tgt in zip(range(1, x.ndim - 1), target_spatial):
+        cur = x.shape[ax]
+        if cur > tgt:
+            start = (cur - tgt) // 2
+            slices.append(slice(start, start + tgt))
+        else:
+            slices.append(slice(None))
+    slices.append(slice(None))
+    x = x[tuple(slices)]
+    return pad_to(x, target_spatial, value=value)
