@@ -1,0 +1,151 @@
+"""Preprocessing / augmentation graph numerics."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import requires_reference
+
+from mri_epilepsy_diagnosis_tpu import transforms as T
+from mri_epilepsy_diagnosis_tpu.transforms import registration as R
+
+
+def _numpy_hist_standardize(data, landmarks):
+    """Independent numpy oracle for the Nyul normalization (numerics of the
+    vendored torchio copy in train_ENC_CLF.ipynb cell 9)."""
+    shape = data.shape
+    data = data.reshape(-1).astype(np.float32)
+    pcts = np.array(sorted({1.0, 99.0, 25, 50, 75, *range(10, 100, 10)}))
+    pv = np.percentile(data, pcts)
+    rng_idx = [0, 1, 2, 4, 5, 6, 7, 8, 10, 11, 12]
+    rm, rp = landmarks[rng_idx], pv[rng_idx]
+    dm, dp = np.diff(rm), np.diff(rp)
+    dp[dp < 1e-5] = np.inf
+    slopes = dm / dp
+    inter = rm[:-1] - slopes * rp[:-1]
+    b = np.digitize(data, rp[1:-1], right=False)
+    return (slopes[b] * data + inter[b]).reshape(shape)
+
+
+def test_znormalization(rng):
+    x = jnp.asarray(rng.normal(2.0, 3.0, size=(16, 16, 16)).astype(np.float32))
+    z = T.znormalization(x)
+    assert abs(float(z.mean())) < 1e-5 and abs(float(z.std()) - 1) < 1e-3
+    zm = np.asarray(T.znormalization(x, masking_method="mean"))
+    xm = np.asarray(x)
+    sel = xm > xm.mean()
+    np.testing.assert_allclose(zm[sel].mean() * xm[sel].std() + xm[sel].mean(),
+                               xm[sel].mean(), rtol=1e-4)
+
+
+def test_minmax_and_rescale(rng):
+    x = jnp.asarray(rng.normal(size=(8, 8, 8)).astype(np.float32))
+    m = T.minmax_norm(x)
+    assert float(m.min()) == 0.0 and abs(float(m.max()) - 1.0) < 1e-6
+    r = T.rescale_intensity(x, (0, 1), (1, 99))
+    assert 0.0 <= float(r.min()) and float(r.max()) <= 1.0
+
+
+@requires_reference
+def test_histogram_standardization_matches_reference_numerics(rng):
+    landmarks = np.load("/root/reference/classification/fcd_train_data_landmarks.npy")
+    assert landmarks.shape == (13,)
+    x = rng.gamma(2.0, 40.0, size=(24, 24, 24)).astype(np.float32)
+    golden = _numpy_hist_standardize(x, landmarks)
+    out = np.asarray(T.histogram_standardization(jnp.asarray(x), landmarks))
+    np.testing.assert_allclose(out, golden, rtol=2e-4, atol=2e-3)
+
+
+def test_train_histogram_landmarks_roundtrip(rng):
+    vols = [rng.gamma(2.0, 40.0, size=(16, 16, 16)) for _ in range(5)]
+    lm = T.train_histogram_landmarks(vols)
+    assert lm.shape == (13,) and np.all(np.diff(lm) >= -1e-6)
+    # standardizing a training volume maps its percentiles near the landmarks
+    out = np.asarray(T.histogram_standardization(
+        jnp.asarray(vols[0], jnp.float32), lm))
+    assert abs(np.median(out) - lm[6]) < 12.0
+
+
+def test_binarize_segmentation():
+    seg = jnp.asarray(np.array([0, 2, 8, 17, 999, 1000, 1001, 2030, 254],
+                               np.float32))
+    out = np.asarray(T.binarize_segmentation(seg))
+    # LIST_FCD ids and >=1000 -> 1; else 0 (prepare_batch semantics)
+    np.testing.assert_array_equal(out, [0, 0, 1, 1, 0, 1, 1, 1, 1])
+
+
+def test_random_flip_and_noise(rng):
+    x = jnp.asarray(rng.normal(size=(8, 8, 8)).astype(np.float32))
+    y = T.random_flip(jax.random.key(1), x, axes=(0, 1, 2), flip_probability=1.0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x)[::-1, ::-1, ::-1])
+    y2 = T.random_noise(jax.random.key(0), x, std=(0.1, 0.1))
+    assert 0.05 < float(jnp.std(y2 - x)) < 0.2
+
+
+def test_random_bias_field_positive(rng):
+    x = jnp.ones((8, 8, 8), jnp.float32)
+    y = T.random_bias_field(jax.random.key(0), x, coefficients=0.3)
+    assert float(y.min()) > 0.0 and float(jnp.std(y)) > 0.0
+
+
+def test_random_affine_identity_limits(rng):
+    x = jnp.asarray(rng.normal(size=(12, 12, 12)).astype(np.float32))
+    y = T.random_affine(jax.random.key(0), x, scales=(1.0, 1.0), degrees=0.0,
+                        translation=0.0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-4)
+
+
+def test_random_elastic_preserves_shape(rng):
+    x = jnp.asarray(rng.normal(size=(16, 16, 16)).astype(np.float32))
+    y = T.random_elastic_deformation(jax.random.key(0), x,
+                                     num_control_points=5,
+                                     max_displacement=2.0)
+    assert y.shape == x.shape and not np.allclose(np.asarray(y), np.asarray(x))
+
+
+def test_compose_and_oneof(rng):
+    x = jnp.asarray(rng.normal(size=(8, 8, 8)).astype(np.float32))
+    chain = T.Compose([
+        lambda k, v: T.random_noise(k, v, std=(0.05, 0.05)),
+        lambda k, v: T.znormalization(v),
+    ])
+    y = jax.jit(chain)(jax.random.key(0), x)
+    assert abs(float(y.mean())) < 1e-4
+    one = T.OneOf([lambda k, v: v + 1.0, lambda k, v: v - 1.0])
+    y2 = one(jax.random.key(3), x)
+    assert abs(abs(float((y2 - x).mean())) - 1.0) < 1e-5
+
+
+def test_register_affine_recovers_translation():
+    # blob phantom shifted by a known translation
+    g = np.mgrid[0:32, 0:32, 0:32].astype(np.float32)
+    blob = np.exp(-(((g[0] - 16) / 6) ** 2 + ((g[1] - 16) / 5) ** 2
+                    + ((g[2] - 16) / 7) ** 2))
+    shifted = np.roll(blob, (3, -2, 1), axis=(0, 1, 2))
+    aff, warped = R.register_affine(shifted, blob, levels=(2, 1),
+                                    iters=(150, 80), dof=6)
+    corr = np.corrcoef(np.asarray(warped).ravel(), blob.ravel())[0, 1]
+    assert corr > 0.99
+    # recovered translation ~ (3, -2, 1) in the output->input direction
+    np.testing.assert_allclose(aff[:3, 3], [3, -2, 1], atol=0.5)
+
+
+def test_bias_field_correction_flattens():
+    g = np.mgrid[0:24, 0:24, 0:24].astype(np.float32) / 24.0
+    bias = np.exp(0.8 * (g[0] - 0.5) + 0.5 * (g[1] - 0.5) ** 2)
+    phantom = np.full((24, 24, 24), 100.0, np.float32)
+    corrupted = phantom * bias
+    corrected, est = R.bias_field_correction(jnp.asarray(corrupted))
+    cv_before = float(np.std(corrupted) / np.mean(corrupted))
+    cv_after = float(np.std(np.asarray(corrected)) / np.mean(np.asarray(corrected)))
+    assert cv_after < 0.25 * cv_before
+
+
+def test_apply_transform_mat_reuse():
+    g = np.mgrid[0:24, 0:24, 0:24].astype(np.float32)
+    vol = ((g[0] > 8) & (g[0] < 16)).astype(np.float32)
+    aff = np.eye(4)
+    aff[0, 3] = 4.0  # output voxel -> input voxel shift
+    out = np.asarray(R.apply_transform(vol, aff, (24, 24, 24)))
+    np.testing.assert_allclose(out[4:12].sum(), vol[8:16].sum(), rtol=1e-5)
