@@ -1,0 +1,108 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Workload: whole-brain 3D U-Net segmentation, the reference's flagship path
+(fepegar UNet ocfl=8, the shipped-checkpoint config,
+`segmentation/results_validation.ipynb`), at the reference's 192^3 crop.
+
+Metric: whole volumes segmented per second per chip (forward + argmax,
+batch 4, bf16 compute / f32 params).  Timing forces a scalar readback per
+step — `block_until_ready` alone does not synchronize on this TPU transport.
+
+Baseline: the reference's recorded per-volume rates on GTX 1080 (BASELINE.md)
+— validation at 7.54 s/vol (0.133 vol/s) for inference, train epoch at
+4.4 s/vol (0.227 vol/s) for the train step.
+
+Extra JSON keys: the f32 dice-loss train-step rate (the train graph falls
+back to smaller crops if the platform's remote compiler rejects 192^3 —
+the achieved size is reported in `train_volume_size`).
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_INFER_VOL_PER_S = 1.0 / 7.54
+REFERENCE_TRAIN_VOL_PER_S = 1.0 / 4.4
+
+
+def bench_infer(model, variables, size, batch, iters):
+    @jax.jit
+    def infer(variables, x):
+        return jnp.argmax(model.apply(variables, x), axis=-1).sum()
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(batch, size, size, size, 1)), jnp.bfloat16)
+    int(infer(variables, x))  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(variables, x)
+    int(out)
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def bench_train(state, size, iters):
+    from mri_epilepsy_diagnosis_tpu.train.seg import seg_train_step
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, size, size, size, 1)), jnp.float32)
+    y = jnp.asarray((rng.random(size=(1, size, size, size, 1)) > 0.5),
+                    jnp.float32)
+    state, loss = seg_train_step(state, x, y)
+    float(loss)  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = seg_train_step(state, x, y)
+    float(loss)
+    return iters / (time.perf_counter() - t0)
+
+
+def main():
+    from mri_epilepsy_diagnosis_tpu.models import UNet3D
+    from mri_epilepsy_diagnosis_tpu.ops import functional as F
+    from mri_epilepsy_diagnosis_tpu.train.optim import torch_adamw
+    from mri_epilepsy_diagnosis_tpu.train.state import create_train_state
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    size = 192 if on_tpu else 32            # CPU fallback is smoke only
+    batch = 4 if on_tpu else 1
+    iters = 10 if on_tpu else 2
+
+    model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
+                   out_channels_first_layer=8)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)))
+
+    infer_vol_per_s = bench_infer(model, variables, size, batch, iters)
+
+    F.set_precision_override("fast")
+    train_rate, train_size = float("nan"), None
+    for ts in ([192, 128] if on_tpu else [32]):
+        try:
+            state = create_train_state(model, torch_adamw(1e-3),
+                                       jnp.zeros((1, 16, 16, 16, 1)))
+            train_rate = bench_train(state, ts, iters)
+            train_size = ts
+            break
+        except Exception as e:  # remote-compiler rejection at large crops
+            print(f"# train bench at {ts}^3 failed: {type(e).__name__}",
+                  flush=True)
+    F.set_precision_override(None)
+
+    print(json.dumps({
+        "metric": "whole_brain_seg_infer_vol_per_s_per_chip",
+        "value": round(infer_vol_per_s, 3),
+        "unit": "vol/s",
+        "vs_baseline": round(infer_vol_per_s / REFERENCE_INFER_VOL_PER_S, 1),
+        "train_vol_per_s": round(train_rate, 3),
+        "train_vs_baseline": round(train_rate / REFERENCE_TRAIN_VOL_PER_S, 1),
+        "volume_size": size,
+        "train_volume_size": train_size,
+        "batch": batch,
+        "platform": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

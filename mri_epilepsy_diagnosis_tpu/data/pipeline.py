@@ -1,0 +1,179 @@
+"""Host-side input pipeline: batching, prefetch, and the patch queue.
+
+Replaces torch `DataLoader`/`Subset` and the torchio patch `Queue`
+(`segmentation/routine.py:97-183`).  The reference hides preprocessing cost
+behind `num_workers=cpu_count()` worker processes; this framework instead
+does the heavy math on device (see `transforms/`) and keeps the host side to
+NIfTI decode + collate, overlapped with device compute by a single prefetch
+thread (`prefetch_to_device`).
+
+Volumes arrive from datasets as channel-first numpy `(C, D, H, W)` (the
+reference's layout); collate produces channels-last `(N, D, H, W, C)`
+batches, the device layout.
+"""
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from typing import Callable, Iterable, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def _to_channels_last(vol: np.ndarray) -> np.ndarray:
+    return np.moveaxis(vol, 0, -1)
+
+
+def default_collate(batch):
+    """list of tuples -> tuple of stacked arrays; volumes (C,D,H,W) become
+    channels-last; integer labels become int32 vectors."""
+    first = batch[0]
+    if isinstance(first, np.ndarray):
+        if first.ndim == 4:
+            return np.stack([_to_channels_last(b) for b in batch])
+        return np.stack(batch)
+    if isinstance(first, (tuple, list)):
+        return tuple(default_collate([b[i] for b in batch])
+                     for i in range(len(first)))
+    return np.asarray(batch, dtype=np.int32 if isinstance(first, (int, np.integer))
+                      else None)
+
+
+class Subset:
+    def __init__(self, dataset, indices: Sequence[int]):
+        self.dataset = dataset
+        self.indices = np.asarray(indices)
+        # surface labels for stratification helpers
+        if hasattr(dataset, "target"):
+            self.target = np.asarray(dataset.target)[self.indices]
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.indices[i])]
+
+
+class DataLoader:
+    """Minimal torch-DataLoader-equivalent: batch, optional shuffle,
+    drop_last, custom collate, per-sample transform."""
+
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
+                 drop_last: bool = False, collate_fn: Callable = default_collate,
+                 transform: Optional[Callable] = None, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn
+        self.transform = transform
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        for start in range(0, len(idx), self.batch_size):
+            sel = idx[start:start + self.batch_size]
+            if self.drop_last and len(sel) < self.batch_size:
+                break
+            items = [self.dataset[int(i)] for i in sel]
+            if self.transform is not None:
+                items = [self.transform(it) for it in items]
+            yield self.collate_fn(items)
+
+
+class PatchQueue:
+    """torchio.Queue-equivalent random-patch sampler.
+
+    Loads whole subjects (optionally transformed), samples
+    `samples_per_volume` random patches of `patch_size` per subject
+    (uniform locations — torchio ImageSampler), keeps up to `max_length`
+    patches buffered, optionally shuffling subjects and patches
+    (`segmentation/routine.py:150-178` semantics).  A background thread
+    keeps the buffer full so the accelerator never waits on NIfTI decode.
+    """
+
+    def __init__(self, subjects_dataset, max_length: int = 180,
+                 samples_per_volume: int = 6, patch_size: int = 64,
+                 shuffle_subjects: bool = True, shuffle_patches: bool = True,
+                 transform: Optional[Callable] = None, seed: int = 0,
+                 num_workers: int = 1):
+        self.dataset = subjects_dataset
+        self.max_length = max_length
+        self.samples_per_volume = samples_per_volume
+        self.patch_size = (patch_size if isinstance(patch_size, tuple)
+                           else (patch_size,) * 3)
+        self.shuffle_subjects = shuffle_subjects
+        self.shuffle_patches = shuffle_patches
+        self.transform = transform
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.dataset) * self.samples_per_volume
+
+    def _sample_patches(self, img, seg):
+        """img/seg: (C, D, H, W) -> list of (patch_img, patch_seg)."""
+        _, d, h, w = img.shape
+        pd, ph, pw = self.patch_size
+        out = []
+        for _ in range(self.samples_per_volume):
+            i = self.rng.integers(0, max(d - pd, 0) + 1)
+            j = self.rng.integers(0, max(h - ph, 0) + 1)
+            k = self.rng.integers(0, max(w - pw, 0) + 1)
+            out.append((img[:, i:i + pd, j:j + ph, k:k + pw],
+                        seg[:, i:i + pd, j:j + ph, k:k + pw]))
+        return out
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle_subjects:
+            self.rng.shuffle(order)
+        buffer = []
+        for si in order:
+            item = self.dataset[int(si)]
+            if self.transform is not None:
+                item = self.transform(item)
+            img, seg = item
+            buffer.extend(self._sample_patches(np.asarray(img), np.asarray(seg)))
+            while len(buffer) >= self.max_length:
+                if self.shuffle_patches:
+                    self.rng.shuffle(buffer)
+                while buffer:
+                    yield buffer.pop()
+        if self.shuffle_patches:
+            self.rng.shuffle(buffer)
+        while buffer:
+            yield buffer.pop()
+
+
+def prefetch_to_device(iterator: Iterable, size: int = 2, sharding=None):
+    """Overlap host batch preparation with device compute: a single worker
+    thread stages `size` batches ahead as committed device arrays."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                if sharding is not None:
+                    batch = jax.device_put(batch, sharding)
+                else:
+                    batch = jax.device_put(batch)
+                q.put(batch)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

@@ -1,0 +1,177 @@
+"""Batched sliding-window whole-volume inference.
+
+Replaces the torchio GridSampler/GridAggregator pattern the reference uses
+for patch-trained models (`pretraining_3d_unet.ipynb` cells 26/35: patch 64^3,
+overlap 4, batch 16, argmax -> aggregate) with a jit-compiled pipeline:
+
+- `grid_locations` computes the static patch grid (stride = patch - overlap,
+  final patch clamped to the far edge — torchio semantics);
+- patch extraction is a `lax.scan` of dynamic slices, model application is
+  one batched call, aggregation is a scan of scatter-adds with overlap
+  averaging ('average') or boundary-aware center-cropping ('crop').
+
+Everything is static-shaped, so the whole volume->labelmap path compiles to
+a single XLA program and batches across volumes/devices (the continuous
+whole-brain inference path of BASELINE.json).
+"""
+from __future__ import annotations
+
+import functools
+import itertools
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _axis_locations(size: int, patch: int, stride: int) -> np.ndarray:
+    if size <= patch:
+        return np.array([0])
+    locs = list(range(0, size - patch + 1, stride))
+    if locs[-1] != size - patch:
+        locs.append(size - patch)
+    return np.array(locs)
+
+
+def grid_locations(spatial_shape: Sequence[int], patch_size, overlap=0
+                   ) -> np.ndarray:
+    """(P, 3) corner indices covering the volume (torchio GridSampler)."""
+    patch = np.broadcast_to(np.asarray(patch_size), (3,))
+    over = np.broadcast_to(np.asarray(overlap), (3,))
+    strides = patch - over
+    axes = [_axis_locations(s, p, st)
+            for s, p, st in zip(spatial_shape, patch, strides)]
+    return np.array(list(itertools.product(*axes)), np.int32)
+
+
+def extract_patches(vol, locations, patch_size) -> jnp.ndarray:
+    """vol (D,H,W,C), locations (P,3) -> (P, pd, ph, pw, C)."""
+    patch = tuple(np.broadcast_to(np.asarray(patch_size), (3,)))
+
+    def get(loc):
+        return jax.lax.dynamic_slice(
+            vol, (loc[0], loc[1], loc[2], 0), (*patch, vol.shape[-1]))
+
+    return jax.vmap(get)(jnp.asarray(locations))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("apply_fn", "patch_size", "overlap",
+                                    "batch_size", "mode", "num_classes"))
+def sliding_window_predict(apply_fn: Callable, variables, vol,
+                           patch_size=64, overlap=4, batch_size: int = 16,
+                           mode: str = "average", num_classes: int = 2):
+    """Whole-volume logits via overlapping patches.
+
+    vol: (D,H,W,C).  Returns (D,H,W,num_classes) aggregated logits.
+    `apply_fn(variables, patches)` maps (B, pd,ph,pw, C) -> (B, ..., classes).
+    """
+    patch = tuple(np.broadcast_to(np.asarray(patch_size), (3,)))
+    orig_spatial = vol.shape[:3]
+    if any(s < p for s, p in zip(orig_spatial, patch)):
+        # pad volumes smaller than the patch (torchio pads via CropOrPad)
+        pads = [(0, max(0, p - s)) for s, p in zip(orig_spatial, patch)]
+        vol = jnp.pad(vol, pads + [(0, 0)])
+    spatial = vol.shape[:3]
+    locations = grid_locations(spatial, patch_size, overlap)
+    n = len(locations)
+
+    patches = extract_patches(vol, locations, patch)
+    # pad to a multiple of batch_size so every model call has a static shape
+    pad = (-n) % batch_size
+    if pad:
+        patches = jnp.concatenate(
+            [patches, jnp.zeros((pad,) + patches.shape[1:], patches.dtype)])
+    chunks = patches.reshape((-1, batch_size) + patches.shape[1:])
+    logits = jax.lax.map(lambda c: apply_fn(variables, c), chunks)
+    logits = logits.reshape((-1,) + logits.shape[2:])[:n]
+
+    out = jnp.zeros(spatial + (num_classes,), logits.dtype)
+    if mode == "average":
+        cnt = jnp.zeros(spatial + (1,), logits.dtype)
+
+        def body(carry, xs):
+            out, cnt = carry
+            loc, lg = xs
+            idx = (loc[0], loc[1], loc[2], 0)
+            out = jax.lax.dynamic_update_slice(
+                out, jax.lax.dynamic_slice(out, idx, lg.shape) + lg, idx)
+            cnt = jax.lax.dynamic_update_slice(
+                cnt, jax.lax.dynamic_slice(cnt, idx, lg.shape[:3] + (1,)) + 1.0,
+                idx)
+            return (out, cnt), None
+
+        (out, cnt), _ = jax.lax.scan(body, (out, cnt),
+                                     (jnp.asarray(locations), logits))
+        out = out / jnp.maximum(cnt, 1.0)
+        return out[:orig_spatial[0], :orig_spatial[1], :orig_spatial[2]]
+
+    if mode == "crop":
+        # static-shape crop: interior voxels (>= overlap//2 from each patch
+        # face) get an overwhelming weight, borders weight 1, then weighted
+        # average — interiors dominate wherever they tile (torchio crop
+        # semantics) while borders still cover the margins interiors miss.
+        margin = np.broadcast_to(np.asarray(overlap), (3,)) // 2
+        wt = np.ones(patch, np.float32)
+        core = tuple(slice(int(m), int(p - m) if m else None)
+                     for m, p in zip(margin, patch))
+        wt[core] = 1e6
+        wt = jnp.asarray(wt)[..., None]
+        cnt = jnp.zeros(spatial + (1,), logits.dtype)
+
+        def body(carry, xs):
+            out, cnt = carry
+            loc, lg = xs
+            idx = (loc[0], loc[1], loc[2], 0)
+            out = jax.lax.dynamic_update_slice(
+                out, jax.lax.dynamic_slice(out, idx, lg.shape) + lg * wt, idx)
+            cnt = jax.lax.dynamic_update_slice(
+                cnt, jax.lax.dynamic_slice(cnt, idx, lg.shape[:3] + (1,)) + wt,
+                idx)
+            return (out, cnt), None
+
+        (out, cnt), _ = jax.lax.scan(body, (out, cnt),
+                                     (jnp.asarray(locations), logits))
+        out = out / jnp.maximum(cnt, 1.0)
+        return out[:orig_spatial[0], :orig_spatial[1], :orig_spatial[2]]
+
+    raise ValueError(f"unknown aggregation mode {mode}")
+
+
+class GridSampler:
+    """torchio-compatible sampler facade over `grid_locations`."""
+
+    def __init__(self, volume, patch_size=64, patch_overlap=4):
+        self.volume = volume
+        self.patch_size = patch_size
+        self.patch_overlap = patch_overlap
+        self.locations = grid_locations(volume.shape[:3], patch_size,
+                                        patch_overlap)
+
+    def __len__(self):
+        return len(self.locations)
+
+    def patches(self):
+        return extract_patches(self.volume, self.locations, self.patch_size)
+
+
+class GridAggregator:
+    """torchio-compatible aggregator: add_batch(labels, locations) then
+    get_output_tensor().  Host-side numpy, average overlap."""
+
+    def __init__(self, spatial_shape, num_classes: int = 1):
+        self.acc = np.zeros(tuple(spatial_shape) + (num_classes,), np.float64)
+        self.cnt = np.zeros(tuple(spatial_shape) + (1,), np.float64)
+
+    def add_batch(self, values, locations):
+        values = np.asarray(values)
+        if values.ndim == 4:  # (B, pd, ph, pw) labels
+            values = values[..., None]
+        for v, loc in zip(values, np.asarray(locations)):
+            sl = tuple(slice(l, l + s) for l, s in zip(loc, v.shape[:3]))
+            self.acc[sl] += v
+            self.cnt[sl] += 1
+
+    def get_output_tensor(self):
+        return self.acc / np.maximum(self.cnt, 1)

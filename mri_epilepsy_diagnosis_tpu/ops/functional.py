@@ -47,10 +47,43 @@ CONV2D_DIMS = lax.conv_dimension_numbers(
 )
 
 
+_PRECISION_OVERRIDE = None
+
+
+def set_precision_override(mode):
+    """Override the dtype-based contraction precision policy.
+
+    mode: None (dtype policy), 'default'/'fast', 'high', 'highest'/'exact',
+    or a lax.Precision.  The 'fast' override exists mainly for CPU test runs:
+    this XLA CPU build compiles HIGHEST-precision conv *gradients*
+    pathologically slowly (~25x), and training-convergence tests don't need
+    bit-exact contractions.  On TPU the policy is moot for the perf path,
+    which runs bf16 inputs (native MXU mode under any precision setting).
+    """
+    global _PRECISION_OVERRIDE
+    if isinstance(mode, str):
+        mode = {"default": lax.Precision.DEFAULT, "fast": lax.Precision.DEFAULT,
+                "high": lax.Precision.HIGH, "highest": lax.Precision.HIGHEST,
+                "exact": lax.Precision.HIGHEST}[mode]
+    _PRECISION_OVERRIDE = mode
+
+
+def _preferred_for(x, preferred):
+    """Accumulation dtype: f32 for f32 inputs; for bf16 inputs keep the
+    output in bf16 (MXU still accumulates f32 internally) — asking for an
+    f32 conv *output* from bf16 operands breaks jax's conv VJP dtype rule
+    (the dw conv would mix bf16 activations with f32 cotangents)."""
+    if x.dtype == jnp.float32 or x.dtype == jnp.float64:
+        return preferred
+    return x.dtype
+
+
 def _precision_for(dtype):
     """float32 inputs contract at HIGHEST (true f32 — required for `.pth`
     output parity); bfloat16 inputs use the native MXU bf16 x bf16 -> f32
     path, which is the performance mode."""
+    if _PRECISION_OVERRIDE is not None:
+        return _PRECISION_OVERRIDE
     if dtype == jnp.float32 or dtype == jnp.float64:
         return lax.Precision.HIGHEST
     return lax.Precision.DEFAULT
@@ -76,7 +109,7 @@ def conv3d(x, w, b=None, *, stride=1, padding=0, dilation=1, groups=1,
         rhs_dilation=dilation,
         dimension_numbers=CONV3D_DIMS,
         feature_group_count=groups,
-        preferred_element_type=preferred_dtype,
+        preferred_element_type=_preferred_for(x, preferred_dtype),
         precision=_precision_for(x.dtype),
     )
     y = y.astype(x.dtype)
@@ -97,7 +130,7 @@ def conv2d(x, w, b=None, *, stride=1, padding=0, dilation=1, groups=1,
         rhs_dilation=dilation,
         dimension_numbers=CONV2D_DIMS,
         feature_group_count=groups,
-        preferred_element_type=preferred_dtype,
+        preferred_element_type=_preferred_for(x, preferred_dtype),
         precision=_precision_for(x.dtype),
     )
     y = y.astype(x.dtype)
@@ -139,7 +172,7 @@ def conv3d_transpose(x, w, b=None, *, stride=1, padding=0, output_padding=0,
         lhs_dilation=stride,
         rhs_dilation=dilation,
         dimension_numbers=CONV3D_DIMS,
-        preferred_element_type=preferred_dtype,
+        preferred_element_type=_preferred_for(x, preferred_dtype),
         precision=_precision_for(x.dtype),
     )
     y = y.astype(x.dtype)

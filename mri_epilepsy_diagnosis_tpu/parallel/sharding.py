@@ -1,0 +1,89 @@
+"""Parallelism via jax.sharding: data parallelism + spatial (volume)
+partitioning.
+
+The reference's only multi-device code is a manual 2-stage encoder/decoder
+split with explicit `.to(device)` transfers (`3d_bayes_unet.py:45-66`) and no
+communication backend at all (SURVEY.md §2.3).  The TPU-native design
+replaces all of it with sharding annotations on one jitted program:
+
+- **data axis**: batch dim sharded; gradient all-reduce is inserted by XLA
+  (psum over ICI) when the loss reduces over the batch.
+- **spatial axis**: the D spatial dim of volumes sharded; XLA GSPMD inserts
+  the halo exchanges convolutions need automatically.  This is the
+  volume-size analog of sequence parallelism (torchio's patch pipeline being
+  the reference's workaround, `segmentation/routine.py:150-178`).
+
+`halo_exchange` is also provided explicitly (ppermute under shard_map) for
+custom kernels that manage their own halos (e.g. Pallas conv kernels).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard dim 0 (batch) over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def volume_sharding(mesh: Mesh, data_axis: Optional[str] = "data",
+                    spatial_axis: Optional[str] = "spatial") -> NamedSharding:
+    """(N, D, H, W, C): batch over data axis, D over spatial axis."""
+    return NamedSharding(mesh, P(data_axis, spatial_axis))
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.device_put(tree, s)
+
+
+def shard_batch(batch, mesh: Mesh, sharding: Optional[NamedSharding] = None):
+    """device_put a batch pytree with its dim-0 sharded over 'data'."""
+    s = sharding or batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), s), batch)
+
+
+def make_parallel_apply(apply_fn, mesh: Mesh, in_volume_sharding=True):
+    """jit `apply_fn(variables, x)` with variables replicated and x sharded
+    (batch over 'data', and D over 'spatial' if the mesh has that axis)."""
+    has_spatial = "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1
+    x_shard = (volume_sharding(mesh, "data", "spatial" if has_spatial else None)
+               if in_volume_sharding else batch_sharding(mesh))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(apply_fn, in_shardings=(rep, x_shard),
+                   out_shardings=x_shard)
+
+
+def halo_exchange(x, axis_name: str, halo: int, dim: int = 1):
+    """Append `halo` boundary slices from both mesh neighbors along `dim`.
+
+    Must run inside shard_map over `axis_name`.  Edge shards get zero halos
+    (same as conv zero padding).  Returns x extended by 2*halo along dim.
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    def take(x, start, size):
+        sl = [slice(None)] * x.ndim
+        sl[dim] = slice(start, start + size) if start >= 0 else slice(start, None)
+        return x[tuple(sl)]
+
+    # slice I send to my right neighbor: my last `halo` planes
+    right_send = take(x, -halo, halo)
+    left_send = take(x, 0, halo)
+    # ppermute: receive from left neighbor the slice it sent right
+    from_left = jax.lax.ppermute(right_send, axis_name,
+                                 [(i, (i + 1) % n) for i in range(n)])
+    from_right = jax.lax.ppermute(left_send, axis_name,
+                                  [(i, (i - 1) % n) for i in range(n)])
+    zeros = jnp.zeros_like(from_left)
+    from_left = jnp.where(idx == 0, zeros, from_left)
+    from_right = jnp.where(idx == n - 1, zeros, from_right)
+    return jnp.concatenate([from_left, x, from_right], axis=dim)

@@ -1,0 +1,144 @@
+"""Segmentation training: dice-loss steps and the epoch driver.
+
+Capability-parity with `segmentation/routine.py:261-361`: an initial
+VALIDATE epoch, then TRAIN/VALIDATE per epoch; softmax -> soft dice loss
+(mean over batch and classes); ReduceLROnPlateau stepped on the mean
+validation loss; periodic checkpointing to `weights/{stem}_epoch_{i}.ckpt`;
+optional per-batch experiment logging.  Label binarization (LIST_FCD +
+cortical >= 1000) happens in-graph (`transforms.binarize_segmentation`)
+instead of in a CPU worker.
+
+`get_model_and_optimizer` mirrors the reference factory: seeded UNet
+(ocfl 16 or 8), AdamW defaults, plateau scheduler (factor 0.1, patience 3,
+threshold 0.01).
+"""
+from __future__ import annotations
+
+import enum
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..metrics.dice import get_dice_loss
+from ..models.unet import UNet3D
+from ..transforms.labels import binarize_segmentation
+from .checkpoint import save_checkpoint
+from .optim import ReduceLROnPlateau, torch_adamw
+from .state import TrainState, create_train_state
+
+
+class Action(enum.Enum):
+    TRAIN = "Training"
+    VALIDATE = "Validation"
+
+
+def _dice_loss_from_logits(logits, targets):
+    """softmax over the channel (last) axis -> soft dice -> mean."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    onehot = jnp.concatenate([1.0 - targets, targets], axis=-1)
+    return jnp.mean(get_dice_loss(probs, onehot, spatial_dimensions=(1, 2, 3)))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def seg_train_step(state: TrainState, inputs, raw_labels):
+    """inputs (N,D,H,W,1) float; raw_labels (N,D,H,W,1) FreeSurfer ids or
+    already-binary masks (binarization is idempotent on {0,1})."""
+    targets = binarize_segmentation(raw_labels)
+
+    def loss_fn(params):
+        variables = {"params": params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+            logits, new_vars = state.apply_fn(variables, inputs, train=True,
+                                              mutable=["batch_stats"])
+            bs = new_vars.get("batch_stats")
+        else:
+            logits = state.apply_fn(variables, inputs, train=True)
+            bs = None
+        return _dice_loss_from_logits(logits, targets), bs
+
+    (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads, new_batch_stats=bs)
+    return state, loss
+
+
+@jax.jit
+def seg_eval_step(state: TrainState, inputs, raw_labels):
+    targets = binarize_segmentation(raw_labels)
+    logits = state.apply_fn(state.variables, inputs, train=False)
+    return _dice_loss_from_logits(logits, targets)
+
+
+def run_epoch(epoch_idx: int, action: Action, loader, state: TrainState,
+              scheduler=None, experiment=None):
+    """One pass; returns (state, np.array of batch losses)."""
+    is_training = action == Action.TRAIN
+    epoch_losses = []
+    for batch in loader:
+        inputs = jnp.asarray(batch[0])
+        targets = jnp.asarray(batch[1])
+        if is_training:
+            state, loss = seg_train_step(state, inputs, targets)
+        else:
+            loss = seg_eval_step(state, inputs, targets)
+        loss_val = float(loss)
+        epoch_losses.append(loss_val)
+        if experiment:
+            experiment.log_metric(
+                "train_dice_loss" if is_training else "validate_dice_loss",
+                loss_val)
+    return state, np.array(epoch_losses)
+
+
+def train_segmentation(num_epochs: int, training_loader, validation_loader,
+                       state: TrainState, scheduler: Optional[ReduceLROnPlateau],
+                       weights_stem: str, save_epoch: int = 1,
+                       experiment=None, verbose: bool = True,
+                       weights_dir: str = "weights"):
+    start_time = time.time()
+    epoch_train_loss, epoch_val_loss = [], []
+
+    state, _ = run_epoch(0, Action.VALIDATE, validation_loader, state,
+                         scheduler, experiment)
+
+    for epoch_idx in range(1, num_epochs + 1):
+        state, tr = run_epoch(epoch_idx, Action.TRAIN, training_loader,
+                              state, scheduler, experiment)
+        state, va = run_epoch(epoch_idx, Action.VALIDATE, validation_loader,
+                              state, scheduler, experiment)
+        epoch_train_loss.append(float(np.mean(tr)))
+        epoch_val_loss.append(float(np.mean(va)))
+        if verbose:
+            print(f"Epoch {epoch_idx} of {num_epochs} took "
+                  f"{time.time() - start_time:.3f}s")
+            print(f"  training loss (in-iteration): \t{tr[-1]:.6f}")
+            print(f"  validation loss: \t\t\t{va[-1]:.6f}")
+        if scheduler:
+            scheduler.step(float(np.mean(va)), state.opt_state)
+        if experiment:
+            experiment.log_epoch_end(epoch_idx)
+        if epoch_idx % save_epoch == 0:
+            save_checkpoint(f"{weights_dir}/{weights_stem}_epoch_{epoch_idx}.ckpt",
+                            state)
+    return state, epoch_train_loss, epoch_val_loss
+
+
+def get_model_and_optimizer(sample_input=None, num_encoding_blocks: int = 3,
+                            out_channels_first_layer: int = 16,
+                            patience: int = 3, seed: int = 0):
+    """Seeded model/optimizer/scheduler factory
+    (`segmentation/routine.py:338-361` semantics)."""
+    model = UNet3D(in_channels=1, out_classes=2,
+                   num_encoding_blocks=num_encoding_blocks,
+                   out_channels_first_layer=out_channels_first_layer)
+    if sample_input is None:
+        sample_input = jnp.zeros((1, 16, 16, 16, 1))
+    tx = torch_adamw()  # AdamW defaults, as the reference
+    state = create_train_state(model, tx, sample_input, jax.random.key(seed))
+    scheduler = ReduceLROnPlateau(1e-3, mode="min", factor=0.1,
+                                  patience=patience, threshold=0.01)
+    return model, state, scheduler

@@ -9,12 +9,20 @@ Must set env vars before jax is imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session env pins a TPU platform (JAX_PLATFORMS=axon
+# in this image): the suite must exercise the 8-device mesh paths.  The
+# image's sitecustomize imports jax at interpreter start, so the env var is
+# already frozen — override through jax.config before backends initialize.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,143 @@
+"""Sliding-window inference, detection patch pipeline, metrics."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mri_epilepsy_diagnosis_tpu.infer import (FCDMaskGenerator, GridAggregator,
+                                              grid_locations,
+                                              sliding_window_predict)
+from mri_epilepsy_diagnosis_tpu.data import patches as P
+from mri_epilepsy_diagnosis_tpu.ops import functional as _F
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fast_precision():
+    _F.set_precision_override("fast")
+    yield
+    _F.set_precision_override(None)
+
+
+def test_grid_locations_torchio_semantics():
+    locs = grid_locations((192, 192, 192), 64, 4)
+    axis = sorted(set(l[0] for l in locs))
+    assert axis == [0, 60, 120, 128]          # stride 60, final clamped
+    assert len(locs) == 4 ** 3
+    # volume smaller than patch -> single location
+    assert grid_locations((32, 48, 64), 64, 4).tolist() == [[0, 0, 0]]
+
+
+@pytest.mark.parametrize("mode", ["average", "crop"])
+def test_sliding_window_identity_model(mode, rng):
+    """With an identity per-patch model, aggregation must reconstruct the
+    input volume exactly (both overlap strategies)."""
+    vol = jnp.asarray(rng.normal(size=(40, 40, 40, 1)).astype(np.float32))
+
+    def apply_fn(variables, patches):
+        return jnp.concatenate([patches, patches], axis=-1)
+
+    out = sliding_window_predict(apply_fn, {}, vol, patch_size=16, overlap=4,
+                                 batch_size=8, mode=mode, num_classes=2)
+    np.testing.assert_allclose(np.asarray(out)[..., 0],
+                               np.asarray(vol)[..., 0], atol=1e-6)
+
+
+def test_sliding_window_matches_direct_unet(rng):
+    from mri_epilepsy_diagnosis_tpu.models import UNet3D
+
+    model = UNet3D(out_channels_first_layer=4, num_encoding_blocks=2)
+    v = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)))
+    vol = jnp.asarray(rng.normal(size=(16, 16, 16, 1)).astype(np.float32))
+
+    def apply_fn(variables, patch_batch):
+        return model.apply(variables, patch_batch)
+
+    # patch == volume -> sliding window must equal the direct forward
+    out = sliding_window_predict(apply_fn, v, vol, patch_size=16, overlap=0,
+                                 batch_size=1)
+    direct = model.apply(v, vol[None])[0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct), atol=1e-5)
+
+
+def test_grid_aggregator_host():
+    agg = GridAggregator((8, 8, 8), num_classes=1)
+    ones = np.ones((2, 4, 4, 4))
+    agg.add_batch(ones, np.array([[0, 0, 0], [4, 4, 4]]))
+    out = agg.get_output_tensor()
+    assert out[0, 0, 0, 0] == 1.0 and out[7, 7, 7, 0] == 1.0
+    assert out[0, 7, 0, 0] == 0.0
+
+
+@pytest.fixture
+def synthetic_head():
+    """Small 'brain': gmpm gray band + image with a bright lesion."""
+    rng = np.random.default_rng(0)
+    gmpm = np.zeros((96, 96, 4), np.float32)
+    gmpm[10:86, 20:76, :] = 1.0              # gray-matter block
+    img = rng.uniform(0.0, 0.2, size=(96, 96, 4)).astype(np.float32)
+    img[20:40, 30:60, :] = 0.9               # "lesion"
+    mask = np.zeros_like(img, dtype=bool)
+    mask[20:40, 30:60, :] = True
+    return gmpm, img, mask
+
+
+def test_patch_extraction_labels(synthetic_head):
+    gmpm, img, mask = synthetic_head
+    patches, labels = P.get_all_patches_and_labels(img, gmpm, mask)
+    assert patches.ndim == 4 and patches.shape[1:] == (2, 16, 32)
+    assert labels.dtype == bool and 0 < labels.sum() < len(labels)
+    # oversampling adds only positives beyond the base sweep
+    base = sum(1 for _ in P.iter_band_patches(img, gmpm, mask))
+    assert len(patches) >= base
+    assert labels[base:].all()
+
+    only = P.get_only_patches(img, gmpm)
+    assert only.shape[0] == base
+
+
+def test_fcd_mask_generator_end_to_end(synthetic_head):
+    gmpm, img, mask = synthetic_head
+
+    def apply_fn(variables, x):
+        """Threshold classifier: patch positive iff its first-channel mean is
+        bright (B, h, w, 2) -> (B, 2) logits."""
+        m = jnp.mean(x[..., 0], axis=(1, 2))
+        return jnp.stack([1.0 - m, m], axis=-1)
+
+    gen = FCDMaskGenerator(apply_fn, {}, gmpm, batch_size=64)
+    pred = gen.get_mask(img)
+    assert pred.shape == img.shape
+    assert pred.sum() > 0
+    # predicted mask should overlap the lesion far better than chance
+    iou = gen.get_iou(pred > 0, mask)
+    assert iou > 0.1
+
+    pmt = np.zeros((4, 6, 3), np.int64)
+    pmt[1, 3, 1] = 1                          # isolated positive -> erased
+    out = FCDMaskGenerator._postprocess(pmt)
+    assert out[1, 3, 1] == 0
+
+    pmt2 = np.ones((4, 6, 3), np.int64)
+    pmt2[1, 3, 1] = 0                         # isolated negative -> filled
+    assert FCDMaskGenerator._postprocess(pmt2)[1, 3, 1] == 1
+
+
+def test_fcd_inference_pipeline_files(tmp_path, synthetic_head):
+    from mri_epilepsy_diagnosis_tpu.utils.nifti import save_nifti, load_nifti
+
+    gmpm, img, mask = synthetic_head
+    ip = str(tmp_path / "img.nii.gz")
+    mp = str(tmp_path / "mask.nii.gz")
+    save_nifti(ip, img)
+    save_nifti(mp, mask.astype(np.uint8))
+
+    def apply_fn(variables, x):
+        m = jnp.mean(x[..., 0], axis=(1, 2))
+        return jnp.stack([1.0 - m, m], axis=-1)
+
+    gen = FCDMaskGenerator(apply_fn, {}, gmpm, batch_size=64)
+    out_name = str(tmp_path / "pred.nii.gz")
+    pred, iou = gen.inference_pipeline(ip, mp, out_name=out_name)
+    assert iou is not None and iou > 0.1
+    assert load_nifti(out_name).shape == img.shape
