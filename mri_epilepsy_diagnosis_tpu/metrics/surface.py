@@ -26,7 +26,8 @@ import functools
 from typing import Dict, Tuple
 
 import numpy as np
-from scipy import ndimage
+
+from ..native import edt3d
 
 # ---------------------------------------------------------------------------
 # per-neighborhood-code surface area via marching tetrahedra
@@ -132,17 +133,10 @@ def compute_surface_distances(mask_gt, mask_pred, spacing_mm) -> Dict:
     areas_pred = table[codes_pred]
 
     # distance maps on the cell grid (cell centers are offset by spacing/2
-    # uniformly in both masks, so center-to-center distances are unbiased)
-    if border_gt.any():
-        dist_to_gt = ndimage.distance_transform_edt(~border_gt,
-                                                    sampling=spacing)
-    else:
-        dist_to_gt = np.full(border_gt.shape, np.inf)
-    if border_pred.any():
-        dist_to_pred = ndimage.distance_transform_edt(~border_pred,
-                                                      sampling=spacing)
-    else:
-        dist_to_pred = np.full(border_pred.shape, np.inf)
+    # uniformly in both masks, so center-to-center distances are unbiased);
+    # exact EDT via the native C++ transform (scipy fallback inside)
+    dist_to_gt = edt3d(border_gt, spacing)
+    dist_to_pred = edt3d(border_pred, spacing)
 
     d_gt_to_pred = dist_to_pred[border_gt]
     a_gt = areas_gt[border_gt]

@@ -93,6 +93,86 @@ def _precision_for(dtype):
 # convolutions
 # ---------------------------------------------------------------------------
 
+def _conv3d_fwd_raw(x, w, stride, padding, dilation, groups=1):
+    return lax.conv_general_dilated(
+        x, w,
+        window_strides=stride,
+        padding=[(p, p) for p in padding],
+        rhs_dilation=dilation,
+        dimension_numbers=CONV3D_DIMS,
+        feature_group_count=groups,
+        preferred_element_type=_preferred_for(x, jnp.float32),
+        precision=_precision_for(x.dtype),
+    )
+
+
+# XLA's autodiff rules for NDHWC convs are pathologically slow on this TPU
+# toolchain (measured ~40x the forward): the dx conv uses input dilation and
+# the dw conv becomes a huge-kernel conv that tiles terribly with thin
+# channels.  The custom VJP below computes dx as a plain flipped-kernel conv
+# (exact for stride 1; strided convs dilate the cotangent first) and dw as
+# im2col patches + one MXU matmul.
+_DW_PATCHES_BYTES_LIMIT = 3 * 1024 ** 3
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _conv3d_vjp(x, w, stride, padding, dilation):
+    return _conv3d_fwd_raw(x, w, stride, padding, dilation)
+
+
+def _conv3d_vjp_fwd(x, w, stride, padding, dilation):
+    return _conv3d_fwd_raw(x, w, stride, padding, dilation), (x, w)
+
+
+def _conv3d_vjp_bwd(stride, padding, dilation, res, g):
+    x, w = res
+    k = w.shape[:3]
+    ci, co = w.shape[3], w.shape[4]
+
+    # ---- dx: conv of the (dilated) cotangent with the flipped kernel
+    w_t = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)  # (k..., Co, Ci)
+    # output of the dx conv must equal the input size:
+    #   i = [(o-1)*s + 1] + pad_lo + pad_hi - d*(k-1)
+    pad_lo = [dilation[i] * (k[i] - 1) - padding[i] for i in range(3)]
+    pad_hi = [x.shape[1 + i] + padding[i]
+              - ((g.shape[1 + i] - 1) * stride[i] + 1) for i in range(3)]
+    dx = lax.conv_general_dilated(
+        g, w_t,
+        window_strides=(1, 1, 1),
+        padding=list(zip(pad_lo, pad_hi)),
+        lhs_dilation=stride,
+        rhs_dilation=dilation,
+        dimension_numbers=CONV3D_DIMS,
+        preferred_element_type=_preferred_for(x, jnp.float32),
+        precision=_precision_for(x.dtype),
+    ).astype(x.dtype)
+
+    # ---- dw: im2col patches + one matmul (channel-major patch features)
+    patches_bytes = (int(np.prod(g.shape[:4])) * int(np.prod(k)) * ci
+                     * x.dtype.itemsize)
+    if patches_bytes <= _DW_PATCHES_BYTES_LIMIT:
+        patches = lax.conv_general_dilated_patches(
+            x, k, stride, [(p, p) for p in padding],
+            rhs_dilation=dilation,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            precision=_precision_for(x.dtype),
+        )
+        pm = patches.reshape(-1, ci * int(np.prod(k)))
+        gm = g.reshape(-1, co)
+        dw = jnp.matmul(pm.T, gm,
+                        preferred_element_type=jnp.float32,
+                        precision=_precision_for(x.dtype))
+        dw = dw.reshape(ci, *k, co).transpose(1, 2, 3, 0, 4).astype(w.dtype)
+    else:  # fall back to XLA's rule for huge-kernel cases
+        _, dw_vjp = jax.vjp(
+            lambda wv: _conv3d_fwd_raw(x, wv, stride, padding, dilation), w)
+        (dw,) = dw_vjp(g)
+    return dx, dw
+
+
+_conv3d_vjp.defvjp(_conv3d_vjp_fwd, _conv3d_vjp_bwd)
+
+
 def conv3d(x, w, b=None, *, stride=1, padding=0, dilation=1, groups=1,
            preferred_dtype=jnp.float32):
     """3D convolution, torch `F.conv3d` semantics.
@@ -101,17 +181,11 @@ def conv3d(x, w, b=None, *, stride=1, padding=0, dilation=1, groups=1,
     `padding` is symmetric per-axis (int or 3-tuple), like torch.
     """
     stride, dilation = _triple(stride), _triple(dilation)
-    pad = [(p, p) for p in _triple(padding)]
-    y = lax.conv_general_dilated(
-        x, w,
-        window_strides=stride,
-        padding=pad,
-        rhs_dilation=dilation,
-        dimension_numbers=CONV3D_DIMS,
-        feature_group_count=groups,
-        preferred_element_type=_preferred_for(x, preferred_dtype),
-        precision=_precision_for(x.dtype),
-    )
+    padding = _triple(padding)
+    if groups == 1:
+        y = _conv3d_vjp(x, w, stride, padding, dilation)
+    else:
+        y = _conv3d_fwd_raw(x, w, stride, padding, dilation, groups)
     y = y.astype(x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
@@ -193,11 +267,48 @@ def dense(x, w, b=None):
 # pooling
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _maxpool3d_blocks(x, kernel):
+    """Non-overlapping maxpool (kernel == stride, dims divisible).
+
+    Custom VJP because reduce_window's gradient (select_and_scatter) is ~50x
+    slower than the forward on this TPU toolchain; the blocked formulation
+    routes the cotangent with a reshape + compare (ties receive the gradient
+    at every max position — measure-zero difference on real data).
+    """
+    n, d, h, w, c = x.shape
+    kd, kh, kw = kernel
+    xr = x.reshape(n, d // kd, kd, h // kh, kh, w // kw, kw, c)
+    return xr.max(axis=(2, 4, 6))
+
+
+def _maxpool3d_blocks_fwd(x, kernel):
+    y = _maxpool3d_blocks(x, kernel)
+    return y, (x, y)
+
+
+def _maxpool3d_blocks_bwd(kernel, res, g):
+    x, y = res
+    n, d, h, w, c = x.shape
+    kd, kh, kw = kernel
+    xr = x.reshape(n, d // kd, kd, h // kh, kh, w // kw, kw, c)
+    yb = y[:, :, None, :, None, :, None, :]
+    gb = g[:, :, None, :, None, :, None, :]
+    dx = jnp.where(xr == yb, gb, 0).reshape(x.shape)
+    return (dx,)
+
+
+_maxpool3d_blocks.defvjp(_maxpool3d_blocks_fwd, _maxpool3d_blocks_bwd)
+
+
 def maxpool3d(x, kernel=2, stride=None, padding=0):
     """torch `nn.MaxPool3d` semantics (floor mode). x: (N,D,H,W,C)."""
     kernel = _triple(kernel)
     stride = kernel if stride is None else _triple(stride)
     padding = _triple(padding)
+    if (kernel == stride and padding == (0, 0, 0)
+            and all(x.shape[1 + i] % kernel[i] == 0 for i in range(3))):
+        return _maxpool3d_blocks(x, kernel)
     neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
            else jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
@@ -282,18 +393,43 @@ def _apply_axis_matrix(x, m, axis):
     return jnp.moveaxis(y, -1, axis)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _resize_linear_core(x, out_spatial, align_corners):
+    """Custom VJP: XLA's autodiff of the per-axis einsums transposes them
+    into a badly-tiled layout (~100x slower than forward on TPU); the adjoint
+    is just the same separable structure with transposed matrices."""
+    for ax, out_sz in zip(range(1, x.ndim - 1), out_spatial):
+        in_sz = x.shape[ax]
+        if in_sz != out_sz:
+            x = _apply_axis_matrix(
+                x, _linear_matrix(in_sz, out_sz, align_corners), ax)
+    return x
+
+
+def _resize_linear_fwd(x, out_spatial, align_corners):
+    return (_resize_linear_core(x, out_spatial, align_corners),
+            tuple(x.shape[1:-1]))
+
+
+def _resize_linear_bwd(out_spatial, align_corners, in_spatial, g):
+    for ax, (in_sz, out_sz) in enumerate(zip(in_spatial, out_spatial)):
+        if in_sz != out_sz:
+            m = _linear_matrix(in_sz, out_sz, align_corners)
+            g = _apply_axis_matrix(g, m.T, ax + 1)
+    return (g,)
+
+
+_resize_linear_core.defvjp(_resize_linear_fwd, _resize_linear_bwd)
+
+
 def resize_linear(x, out_spatial: Sequence[int], *, align_corners: bool = False):
     """Tri/bi-linear resize of (N, *spatial, C), PyTorch Upsample semantics.
 
     Separable per-axis interpolation expressed as small dense matmuls, which
     XLA maps onto the MXU — far faster on TPU than gather-based resampling.
     """
-    spatial_axes = range(1, x.ndim - 1)
-    for ax, out_sz in zip(spatial_axes, out_spatial):
-        in_sz = x.shape[ax]
-        if in_sz != out_sz:
-            x = _apply_axis_matrix(x, _linear_matrix(in_sz, out_sz, align_corners), ax)
-    return x
+    return _resize_linear_core(x, tuple(int(s) for s in out_spatial),
+                               bool(align_corners))
 
 
 def resize_nearest(x, out_spatial: Sequence[int]):

