@@ -233,8 +233,10 @@ class PReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        a = self.param("weight",
-                       lambda key, shape: jnp.full(shape, self.init), (1,))
+        a = self.param(
+            "weight",
+            lambda key, shape: jnp.full(shape, self.init, dtype=jnp.float32),
+            (1,))
         return F.prelu(x, a)
 
 

@@ -38,15 +38,31 @@ class TrainState:
 
 def create_train_state(model, tx, sample_input, rng=None,
                        variables: Optional[dict] = None) -> TrainState:
+    import jax.numpy as jnp
+
     if variables is None:
         rng = jax.random.key(0) if rng is None else rng
         variables = model.init(rng, sample_input)
     params = variables["params"]
+
+    # Canonicalize every leaf to a strongly-typed array: python scalars (the
+    # step counter, injected hyperparameters) otherwise enter the first jit
+    # call with weak-typed avals, come back strong, and force a retrace —
+    # i.e. a full recompile — on the next step.
+    def _strong(a):
+        arr = jnp.asarray(a)
+        return jnp.asarray(a, dtype=arr.dtype)
+
+    params = jax.tree.map(_strong, params)
+    batch_stats = variables.get("batch_stats")
+    if batch_stats is not None:
+        batch_stats = jax.tree.map(_strong, batch_stats)
+    opt_state = jax.tree.map(_strong, tx.init(params))
     return TrainState(
-        step=0,
+        step=jnp.asarray(0, jnp.int32),
         params=params,
-        batch_stats=variables.get("batch_stats"),
-        opt_state=tx.init(params),
+        batch_stats=batch_stats,
+        opt_state=opt_state,
         tx=tx,
         apply_fn=model.apply,
     )
