@@ -127,6 +127,32 @@ def train_segmentation(num_epochs: int, training_loader, validation_loader,
     return state, epoch_train_loss, epoch_val_loss
 
 
+def validate_dsc_asd(state: TrainState, loader):
+    """Per-subject DSC + average surface distance + IoU over a loader
+    (reference `segmentation/routine.py:217-237`).  Model forward runs
+    batched on device; surface metrics on host (native EDT)."""
+    from ..metrics import (compute_average_surface_distance,
+                           compute_dice_coefficient,
+                           compute_surface_distances, get_iou_score)
+
+    dsc, asd_mean, asd_std, iou = [], [], [], []
+    for batch in loader:
+        inputs = jnp.asarray(batch[0])
+        targets = np.asarray(binarize_segmentation(jnp.asarray(batch[1])))
+        logits = state.apply_fn(state.variables, inputs, train=False)
+        preds = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
+        for i in range(preds.shape[0]):
+            gt = targets[i, ..., 0].astype(np.uint8)
+            pred = preds[i]
+            sd = compute_surface_distances(gt, pred, spacing_mm=(1, 1, 1))
+            m, s = compute_average_surface_distance(sd)
+            dsc.append(compute_dice_coefficient(gt, pred))
+            asd_mean.append(m)
+            asd_std.append(s)
+            iou.append(get_iou_score(pred, gt))
+    return dsc, asd_mean, asd_std, iou
+
+
 def get_model_and_optimizer(sample_input=None, num_encoding_blocks: int = 3,
                             out_channels_first_layer: int = 16,
                             patience: int = 3, seed: int = 0):
