@@ -15,6 +15,13 @@ the 128-wide MXU K dimension where thin-channel convs otherwise waste it.
 `separable_conv3d` applies the kernel along each spatial axis in turn
 (moveaxis between calls), with the XLA conv as fallback for shapes that
 don't fit VMEM and for non-TPU backends (tests run `interpret=True`).
+
+Status on this image's Mosaic toolchain (kept opt-in until resolved):
+compiled kernels with ONE or TWO shifted-window dots compile and run, but
+three overlapping-window dots in one kernel, any minor-dim concatenation of
+thin-channel (<128 lane) arrays, and in-kernel `lax.dynamic_slice` all crash
+or are unimplemented in the remote `tpu_compile_helper`.  The interpret-mode
+path is numerically verified in tests/test_pallas.py.
 """
 from __future__ import annotations
 
