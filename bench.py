@@ -26,6 +26,8 @@ import jax.numpy as jnp
 
 REFERENCE_INFER_VOL_PER_S = 1.0 / 7.54
 REFERENCE_TRAIN_VOL_PER_S = 1.0 / 4.4
+# patch epoch: 10 subjects x 8 patches of 64^3 in 45.8 s (BASELINE.md)
+REFERENCE_TRAIN_PATCHES_PER_S = 80.0 / 45.8
 
 
 def bench_infer(model, variables, size, batch, iters):
@@ -88,6 +90,27 @@ def main():
         except Exception as e:  # remote-compiler rejection at large crops
             print(f"# train bench at {ts}^3 failed: {type(e).__name__}",
                   flush=True)
+
+    # patch-training throughput (64^3 patches, batch 16 — the reference's
+    # torchio Queue workload, pretraining_3d_unet.ipynb cell 25)
+    patch_rate = float("nan")
+    try:
+        from mri_epilepsy_diagnosis_tpu.train.seg import seg_train_step
+        state = create_train_state(model, torch_adamw(1e-3),
+                                   jnp.zeros((1, 16, 16, 16, 1)))
+        ps = 64 if on_tpu else 16
+        rng = np.random.default_rng(1)
+        xp = jnp.asarray(rng.normal(size=(16, ps, ps, ps, 1)), jnp.float32)
+        yp = jnp.asarray((rng.random((16, ps, ps, ps, 1)) > 0.5), jnp.float32)
+        state, loss = seg_train_step(state, xp, yp)
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, loss = seg_train_step(state, xp, yp)
+        float(loss)
+        patch_rate = 16 * iters / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"# patch train bench failed: {type(e).__name__}", flush=True)
     F.set_precision_override(None)
 
     print(json.dumps({
@@ -97,6 +120,8 @@ def main():
         "vs_baseline": round(infer_vol_per_s / REFERENCE_INFER_VOL_PER_S, 1),
         "train_vol_per_s": round(train_rate, 3),
         "train_vs_baseline": round(train_rate / REFERENCE_TRAIN_VOL_PER_S, 1),
+        "train_patches_per_s": round(patch_rate, 1),
+        "patch_vs_baseline": round(patch_rate / REFERENCE_TRAIN_PATCHES_PER_S, 1),
         "volume_size": size,
         "train_volume_size": train_size,
         "batch": batch,

@@ -127,6 +127,27 @@ def train_segmentation(num_epochs: int, training_loader, validation_loader,
     return state, epoch_train_loss, epoch_val_loss
 
 
+def sweep_checkpoints(weights_dir: str, state: TrainState, loader,
+                      pattern: str = "*.ckpt"):
+    """Evaluate every checkpoint in a directory (the reference's sweep in
+    `pretraining_3d_unet.ipynb` cell 17 printing DICE/IoU per epoch).
+    Returns {path: (mean_dsc, mean_iou)} sorted by path."""
+    import glob as _glob
+
+    from .checkpoint import load_checkpoint
+
+    results = {}
+    for path in sorted(_glob.glob(f"{weights_dir}/{pattern}")):
+        try:
+            st = load_checkpoint(path, state)
+            dsc, _, _, iou = validate_dsc_asd(st, loader)
+            results[path] = (float(np.nanmean(dsc)), float(np.mean(iou)))
+            print(f"{path}: DICE {results[path][0]:.4f} IoU {results[path][1]:.4f}")
+        except Exception as e:  # mirror the reference's soft-fail sweep
+            print(f"{path}: skipped ({type(e).__name__})")
+    return results
+
+
 def validate_dsc_asd(state: TrainState, loader):
     """Per-subject DSC + average surface distance + IoU over a loader
     (reference `segmentation/routine.py:217-237`).  Model forward runs
