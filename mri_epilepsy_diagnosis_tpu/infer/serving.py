@@ -1,0 +1,81 @@
+"""Continuously batched whole-brain inference (the serving path).
+
+The BASELINE.json north star: stream T1w volumes through preprocessing and
+the segmenter(+classifier) as a continuously fed, data-parallel pipeline.
+Host NIfTI decode / preprocessing overlaps device compute through the
+prefetch thread; each device step consumes a fixed-size batch (static
+shapes, one compiled program); results stream back as masks.
+"""
+from __future__ import annotations
+
+from typing import Callable, Iterable, Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.pipeline import prefetch_to_device
+
+
+def _batched(iterator: Iterable, batch_size: int):
+    buf = []
+    for item in iterator:
+        buf.append(item)
+        if len(buf) == batch_size:
+            yield np.stack(buf), len(buf)
+            buf = []
+    if buf:
+        pad = batch_size - len(buf)
+        yield np.concatenate([np.stack(buf),
+                              np.zeros((pad,) + buf[0].shape,
+                                       buf[0].dtype)]), len(buf)
+
+
+def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
+                    batch_size: int = 4, dtype=jnp.bfloat16,
+                    preprocess: Optional[Callable] = None,
+                    classify_fn: Optional[Callable] = None,
+                    sharding=None) -> Iterator[dict]:
+    """Stream (D,H,W) or (D,H,W,1) volumes -> dicts with 'mask' (uint8) and
+    optionally 'probs' from a classifier head.
+
+    apply_fn(variables, batch) -> logits (B, D, H, W, classes).
+    `preprocess` runs per-volume on host (numpy/jnp) before batching.
+    `sharding` places batches on a mesh (data-parallel serving).
+    """
+
+    def prepare(vol):
+        v = np.asarray(vol, np.float32)
+        if preprocess is not None:
+            v = np.asarray(preprocess(v))
+        if v.ndim == 3:
+            v = v[..., None]
+        return v
+
+    @jax.jit
+    def step(variables, batch):
+        logits = apply_fn(variables, batch.astype(dtype))
+        out = {"mask": jnp.argmax(logits, axis=-1).astype(jnp.uint8)}
+        if classify_fn is not None:
+            out["probs"] = jax.nn.softmax(classify_fn(variables, batch.astype(dtype)),
+                                          axis=-1)
+        return out
+
+    counts: list = []
+
+    def producer():
+        for arr, n in _batched((prepare(v) for v in volumes), batch_size):
+            counts.append(n)
+            yield jnp.asarray(arr)
+
+    staged = prefetch_to_device(producer(), size=2, sharding=sharding)
+    for batch in staged:
+        n = counts.pop(0)
+        out = step(variables, batch)
+        masks = np.asarray(out["mask"])[:n]
+        probs = (np.asarray(out["probs"])[:n]
+                 if classify_fn is not None else None)
+        for i in range(n):
+            yield {"mask": masks[i],
+                   **({"probs": probs[i]} if probs is not None else {})}

@@ -128,6 +128,28 @@ def test_norms_match_torch(rng):
         1e-4)
 
 
+@pytest.mark.parametrize("stride,padding,dilation", [(1, 1, 1), (2, 0, 3)])
+def test_conv3d_dw_offset_loop_path(rng, stride, padding, dilation, monkeypatch):
+    """The huge-volume dw fallback (per-offset contractions) must match the
+    im2col path bit-for-bit-ish."""
+    import jax
+
+    from mri_epilepsy_diagnosis_tpu.ops import functional as OF
+
+    x = jnp.asarray(rng.normal(size=(1, 10, 10, 10, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 4)).astype(np.float32))
+
+    def loss(w):
+        return (F.conv3d(x, w, stride=stride, padding=padding,
+                         dilation=dilation) ** 2).sum()
+
+    dw_im2col = jax.grad(loss)(w)
+    monkeypatch.setattr(OF, "_DW_PATCHES_BYTES_LIMIT", 0)
+    dw_loop = jax.grad(loss)(w)
+    np.testing.assert_allclose(np.asarray(dw_loop), np.asarray(dw_im2col),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_prelu_matches_torch(rng):
     x = rng.normal(size=(2, 4, 5, 6, 7)).astype(np.float32)
     a = np.array([0.17], np.float32)

@@ -1,0 +1,34 @@
+"""Continuous batched serving pipeline."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mri_epilepsy_diagnosis_tpu.infer.serving import segment_volumes
+from mri_epilepsy_diagnosis_tpu.models import UNet3D
+from mri_epilepsy_diagnosis_tpu.ops import functional as _F
+from mri_epilepsy_diagnosis_tpu.transforms import znormalization
+
+
+def test_segment_volumes_stream(rng):
+    _F.set_precision_override("fast")
+    try:
+        model = UNet3D(out_channels_first_layer=4, num_encoding_blocks=2)
+        v = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)))
+
+        vols = [rng.normal(size=(16, 16, 16)).astype(np.float32)
+                for _ in range(5)]  # 5 volumes, batch 2 -> ragged final batch
+        results = list(segment_volumes(
+            lambda vv, b: model.apply(vv, b), v, vols, batch_size=2,
+            dtype=jnp.float32, preprocess=lambda x: znormalization(x)))
+        assert len(results) == 5
+        for r in results:
+            assert r["mask"].shape == (16, 16, 16)
+            assert r["mask"].dtype == np.uint8
+
+        # deterministic vs direct forward
+        x = znormalization(jnp.asarray(vols[0]))[None, ..., None]
+        direct = np.asarray(jnp.argmax(model.apply(v, x), -1))[0]
+        np.testing.assert_array_equal(results[0]["mask"], direct)
+    finally:
+        _F.set_precision_override(None)
