@@ -158,6 +158,7 @@ def prefetch_to_device(iterator: Iterable, size: int = 2, sharding=None):
     thread stages `size` batches ahead as committed device arrays."""
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
+    _ERR = object()
 
     def producer():
         try:
@@ -167,8 +168,9 @@ def prefetch_to_device(iterator: Iterable, size: int = 2, sharding=None):
                 else:
                     batch = jax.device_put(batch)
                 q.put(batch)
-        finally:
             q.put(_END)
+        except BaseException as e:  # propagate host-side failures to consumer
+            q.put((_ERR, e))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -176,4 +178,6 @@ def prefetch_to_device(iterator: Iterable, size: int = 2, sharding=None):
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
         yield item

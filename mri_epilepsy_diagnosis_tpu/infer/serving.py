@@ -17,6 +17,27 @@ import jax.numpy as jnp
 
 from ..data.pipeline import prefetch_to_device
 
+_STEP_CACHE: dict = {}
+
+
+def _serving_step(apply_fn, classify_fn, dtype):
+    """One jitted step per (apply_fn, classify_fn, dtype): repeated
+    segment_volumes calls must not re-trace (remote compiles cost minutes)."""
+    key = (apply_fn, classify_fn, jnp.dtype(dtype).name)
+    if key not in _STEP_CACHE:
+
+        @jax.jit
+        def step(variables, batch):
+            logits = apply_fn(variables, batch.astype(dtype))
+            out = {"mask": jnp.argmax(logits, axis=-1).astype(jnp.uint8)}
+            if classify_fn is not None:
+                out["probs"] = jax.nn.softmax(
+                    classify_fn(variables, batch.astype(dtype)), axis=-1)
+            return out
+
+        _STEP_CACHE[key] = step
+    return _STEP_CACHE[key]
+
 
 def _batched(iterator: Iterable, batch_size: int):
     buf = []
@@ -53,21 +74,17 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
             v = v[..., None]
         return v
 
-    @jax.jit
-    def step(variables, batch):
-        logits = apply_fn(variables, batch.astype(dtype))
-        out = {"mask": jnp.argmax(logits, axis=-1).astype(jnp.uint8)}
-        if classify_fn is not None:
-            out["probs"] = jax.nn.softmax(classify_fn(variables, batch.astype(dtype)),
-                                          axis=-1)
-        return out
+    step = _serving_step(apply_fn, classify_fn, dtype)
 
     counts: list = []
 
     def producer():
+        # yield host arrays: prefetch_to_device does the single (sharded)
+        # transfer — staging via jnp.asarray here would commit every batch
+        # to device 0 first and pay the hop twice
         for arr, n in _batched((prepare(v) for v in volumes), batch_size):
             counts.append(n)
-            yield jnp.asarray(arr)
+            yield arr
 
     staged = prefetch_to_device(producer(), size=2, sharding=sharding)
     for batch in staged:

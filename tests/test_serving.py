@@ -30,5 +30,28 @@ def test_segment_volumes_stream(rng):
         x = znormalization(jnp.asarray(vols[0]))[None, ..., None]
         direct = np.asarray(jnp.argmax(model.apply(v, x), -1))[0]
         np.testing.assert_array_equal(results[0]["mask"], direct)
+
+        # repeated calls with the same fns reuse one compiled step
+        from mri_epilepsy_diagnosis_tpu.infer import serving as S
+
+        def apply2(vv, b):
+            return model.apply(vv, b)
+
+        n0 = len(S._STEP_CACHE)
+        list(segment_volumes(apply2, v, vols[:2], batch_size=2,
+                             dtype=jnp.float32))
+        list(segment_volumes(apply2, v, vols[:2], batch_size=2,
+                             dtype=jnp.float32))
+        assert len(S._STEP_CACHE) == n0 + 1
+
+        # producer errors must propagate, not truncate silently
+        bad = [vols[0], np.zeros((9, 16, 16), np.float32)]
+        try:
+            list(segment_volumes(apply2, v, bad, batch_size=2,
+                                 dtype=jnp.float32))
+            raised = False
+        except ValueError:
+            raised = True
+        assert raised
     finally:
         _F.set_precision_override(None)
