@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.patches import _band_geometry, _mirrored_pair
+from ..data.patches import _band_geometry, iter_band_patches
 from ..utils.nifti import NiftiImage, load_nifti, save_nifti
 
 
@@ -40,27 +40,14 @@ class FCDMaskGenerator:
     # -- patch inference ----------------------------------------------------
 
     def _collect_patches(self, img):
-        """All patches + their (kind, band, slice) destinations."""
+        """All patches + their (kind, band, slice) destinations — one band
+        walk shared with training extraction (`data/patches.iter_band_patches`)
+        so training and inference geometry can never diverge."""
         patches, dests = [], []
-        h, w = self.h, self.w
-        for i in range(self.gmpm.shape[2]):
-            sg = np.rot90(self.gmpm[:, :, i])
-            st = np.rot90(img[:, :, i])
-            for j in range(0, sg.shape[0], h):
-                geo = _band_geometry(sg, j, h, w)
-                if geo is None:
-                    continue
-                start_idx, mid_idx = geo
-                sub = st[j:j + h, :]
-                if start_idx < mid_idx:
-                    patches.append(_mirrored_pair(sub, start_idx, w, "left"))
-                    dests.append((0, j // h, i))
-                    patches.append(_mirrored_pair(sub, start_idx, w, "right"))
-                    dests.append((3, j // h, i))
-                patches.append(_mirrored_pair(sub, mid_idx, w, "left"))
-                dests.append((1, j // h, i))
-                patches.append(_mirrored_pair(sub, mid_idx, w, "right"))
-                dests.append((2, j // h, i))
+        for i, band, kind, patch, _label in iter_band_patches(
+                img, self.gmpm, None, self.h, self.w):
+            patches.append(patch)
+            dests.append((kind, band, i))
         return (np.stack(patches).astype(np.float32), np.asarray(dests))
 
     def _get_predictions_per_batches(self, img) -> np.ndarray:

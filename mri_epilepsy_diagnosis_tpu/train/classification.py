@@ -80,10 +80,13 @@ def _class_step(state: TrainState, x, y, rng, train: bool):
 
 def run_one_epoch(state: TrainState, loader, train: bool, rng_stream=None,
                   scheduler: Optional[ReduceLROnPlateau] = None,
-                  experiment=None):
-    """One pass over `loader`; returns (state, losses, probs, targets)."""
+                  experiment=None, epoch: int = 0):
+    """One pass over `loader`; returns (state, losses, probs, targets).
+
+    Dropout/sampling randomness is seeded per epoch (fold_in of `epoch`)
+    so masks differ across epochs while runs stay reproducible."""
     losses, probs, targets = [], [], []
-    key = jax.random.key(0)
+    key = jax.random.fold_in(jax.random.key(0), epoch)
     for batch in loader:
         x, y = batch[0], batch[1]
         x = jnp.asarray(x)
@@ -118,10 +121,11 @@ def train(state: TrainState, train_dataloader, val_dataloader, metric,
         t0 = time.time()
         state, tr_losses, tr_probs, tr_targets = run_one_epoch(
             state, train_dataloader, True, scheduler=scheduler,
-            experiment=experiment)
+            experiment=experiment, epoch=epoch)
         if val_dataloader is not None:
             state, v_losses, v_probs, v_targets = run_one_epoch(
-                state, val_dataloader, False, experiment=experiment)
+                state, val_dataloader, False, experiment=experiment,
+                epoch=epoch)
 
         etl.append(float(np.mean(tr_losses)))
         etm.append(metric(tr_targets, tr_probs))

@@ -46,7 +46,8 @@ def _dice_loss_from_logits(logits, targets):
 @functools.partial(jax.jit, donate_argnums=(0,))
 def seg_train_step(state: TrainState, inputs, raw_labels):
     """inputs (N,D,H,W,1) float; raw_labels (N,D,H,W,1) FreeSurfer ids or
-    already-binary masks (binarization is idempotent on {0,1})."""
+    already-binary masks (binarize_segmentation keeps existing 1s, like the
+    reference's prepare_batch)."""
     targets = binarize_segmentation(raw_labels)
 
     def loss_fn(params):

@@ -68,11 +68,16 @@ def test_train_histogram_landmarks_roundtrip(rng):
 
 
 def test_binarize_segmentation():
-    seg = jnp.asarray(np.array([0, 2, 8, 17, 999, 1000, 1001, 2030, 254],
+    seg = jnp.asarray(np.array([0, 1, 2, 8, 17, 999, 1000, 1001, 2030, 254],
                                np.float32))
     out = np.asarray(T.binarize_segmentation(seg))
-    # LIST_FCD ids and >=1000 -> 1; else 0 (prepare_batch semantics)
-    np.testing.assert_array_equal(out, [0, 0, 1, 1, 0, 1, 1, 1, 1])
+    # LIST_FCD ids and >=1000 -> 1; existing 1s survive (the reference only
+    # zeroes `targets != 1`); else 0
+    np.testing.assert_array_equal(out, [0, 1, 0, 1, 1, 0, 1, 1, 1, 1])
+    # idempotent on binary masks — bb/combined modes feed {0,1} directly
+    binary = jnp.asarray((np.arange(8) % 2).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(T.binarize_segmentation(binary)),
+                                  np.asarray(binary))
 
 
 def test_random_flip_and_noise(rng):
