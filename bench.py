@@ -16,13 +16,32 @@ Extra JSON keys: the f32 dice-loss train-step rate (the train graph falls
 back to smaller crops if the platform's remote compiler rejects 192^3 —
 the achieved size is reported in `train_volume_size`).
 """
+import contextlib
 import json
+import signal
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def _deadline(seconds: int):
+    """Bound a section (remote compiles can take many minutes and sometimes
+    wedge); raises TimeoutError at expiry."""
+
+    def _raise(signum, frame):
+        raise TimeoutError(f"bench section exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 REFERENCE_INFER_VOL_PER_S = 1.0 / 7.54
 REFERENCE_TRAIN_VOL_PER_S = 1.0 / 4.4
@@ -80,14 +99,15 @@ def main():
 
     F.set_precision_override("fast")
     train_rate, train_size = float("nan"), None
-    for ts in ([192, 128] if on_tpu else [32]):
+    for ts, budget in ([(192, 420), (128, 900)] if on_tpu else [(32, 900)]):
         try:
-            state = create_train_state(model, torch_adamw(1e-3),
-                                       jnp.zeros((1, 16, 16, 16, 1)))
-            train_rate = bench_train(state, ts, iters)
+            with _deadline(budget):
+                state = create_train_state(model, torch_adamw(1e-3),
+                                           jnp.zeros((1, 16, 16, 16, 1)))
+                train_rate = bench_train(state, ts, iters)
             train_size = ts
             break
-        except Exception as e:  # remote-compiler rejection at large crops
+        except Exception as e:  # remote-compiler rejection / deadline
             print(f"# train bench at {ts}^3 failed: {type(e).__name__}",
                   flush=True)
 
@@ -95,33 +115,38 @@ def main():
     # torchio Queue workload, pretraining_3d_unet.ipynb cell 25)
     patch_rate = float("nan")
     try:
-        from mri_epilepsy_diagnosis_tpu.train.seg import seg_train_step
-        state = create_train_state(model, torch_adamw(1e-3),
-                                   jnp.zeros((1, 16, 16, 16, 1)))
-        ps = 64 if on_tpu else 16
-        rng = np.random.default_rng(1)
-        xp = jnp.asarray(rng.normal(size=(16, ps, ps, ps, 1)), jnp.float32)
-        yp = jnp.asarray((rng.random((16, ps, ps, ps, 1)) > 0.5), jnp.float32)
-        state, loss = seg_train_step(state, xp, yp)
-        float(loss)
-        t0 = time.perf_counter()
-        for _ in range(iters):
+        with _deadline(600):
+            from mri_epilepsy_diagnosis_tpu.train.seg import seg_train_step
+            state = create_train_state(model, torch_adamw(1e-3),
+                                       jnp.zeros((1, 16, 16, 16, 1)))
+            ps = 64 if on_tpu else 16
+            rng = np.random.default_rng(1)
+            xp = jnp.asarray(rng.normal(size=(16, ps, ps, ps, 1)), jnp.float32)
+            yp = jnp.asarray((rng.random((16, ps, ps, ps, 1)) > 0.5),
+                             jnp.float32)
             state, loss = seg_train_step(state, xp, yp)
-        float(loss)
-        patch_rate = 16 * iters / (time.perf_counter() - t0)
+            float(loss)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, loss = seg_train_step(state, xp, yp)
+            float(loss)
+            patch_rate = 16 * iters / (time.perf_counter() - t0)
     except Exception as e:
         print(f"# patch train bench failed: {type(e).__name__}", flush=True)
     F.set_precision_override(None)
 
+    def _num(v, nd=3):
+        return None if (v != v) else round(v, nd)  # NaN -> null (valid JSON)
+
     print(json.dumps({
         "metric": "whole_brain_seg_infer_vol_per_s_per_chip",
-        "value": round(infer_vol_per_s, 3),
+        "value": _num(infer_vol_per_s),
         "unit": "vol/s",
-        "vs_baseline": round(infer_vol_per_s / REFERENCE_INFER_VOL_PER_S, 1),
-        "train_vol_per_s": round(train_rate, 3),
-        "train_vs_baseline": round(train_rate / REFERENCE_TRAIN_VOL_PER_S, 1),
-        "train_patches_per_s": round(patch_rate, 1),
-        "patch_vs_baseline": round(patch_rate / REFERENCE_TRAIN_PATCHES_PER_S, 1),
+        "vs_baseline": _num(infer_vol_per_s / REFERENCE_INFER_VOL_PER_S, 1),
+        "train_vol_per_s": _num(train_rate),
+        "train_vs_baseline": _num(train_rate / REFERENCE_TRAIN_VOL_PER_S, 1),
+        "train_patches_per_s": _num(patch_rate, 1),
+        "patch_vs_baseline": _num(patch_rate / REFERENCE_TRAIN_PATCHES_PER_S, 1),
         "volume_size": size,
         "train_volume_size": train_size,
         "batch": batch,

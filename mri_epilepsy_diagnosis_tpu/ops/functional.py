@@ -164,27 +164,13 @@ def _conv3d_vjp_bwd(stride, padding, dilation, res, g):
                         precision=_precision_for(x.dtype))
         dw = dw.reshape(ci, *k, co).transpose(1, 2, 3, 0, 4).astype(w.dtype)
     else:
-        # huge volumes: one contraction per kernel offset over strided slices
-        # of the padded input — no k^3-fold materialization, and no XLA
-        # huge-kernel dw conv (which crashes this platform's compiler at
-        # 192^3 training shapes)
-        xp = jnp.pad(x, [(0, 0)] + [(p, p) for p in padding] + [(0, 0)])
-        gm = g.reshape(-1, co)
-        out_sp = g.shape[1:4]
-        taps = []
-        for a in range(k[0]):
-            for b in range(k[1]):
-                for c in range(k[2]):
-                    sl = xp[:,
-                            a * dilation[0]:a * dilation[0] + (out_sp[0] - 1) * stride[0] + 1:stride[0],
-                            b * dilation[1]:b * dilation[1] + (out_sp[1] - 1) * stride[1] + 1:stride[1],
-                            c * dilation[2]:c * dilation[2] + (out_sp[2] - 1) * stride[2] + 1:stride[2],
-                            :]
-                    taps.append(jnp.matmul(
-                        sl.reshape(-1, ci).T, gm,
-                        preferred_element_type=jnp.float32,
-                        precision=_precision_for(x.dtype)))
-        dw = jnp.stack(taps).reshape(*k, ci, co).astype(w.dtype)
+        # fall back to XLA's dw rule when im2col patches would not fit HBM.
+        # (A per-offset strided-slice contraction variant was tried and is
+        # numerically exact, but this platform's remote compiler crashes on
+        # it at patch-training batch shapes; XLA's rule is proven there.)
+        _, dw_vjp = jax.vjp(
+            lambda wv: _conv3d_fwd_raw(x, wv, stride, padding, dilation), w)
+        (dw,) = dw_vjp(g)
     return dx, dw
 
 

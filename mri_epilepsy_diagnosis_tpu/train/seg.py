@@ -49,16 +49,24 @@ def seg_train_step(state: TrainState, inputs, raw_labels):
     already-binary masks (binarize_segmentation keeps existing 1s, like the
     reference's prepare_batch)."""
     targets = binarize_segmentation(raw_labels)
+    # dropout / Bayesian-sampling rngs, fresh per optimizer step.  Keys are
+    # built by bit-packing (wrap_key_data) rather than fold_in: in-graph
+    # threefry hashing crashes this platform's remote compiler on large
+    # graphs, and key *construction* needs no hashing.
+    rngs = {k: jax.random.wrap_key_data(
+                jnp.stack([jnp.uint32(i), state.step.astype(jnp.uint32)]))
+            for i, k in enumerate(("dropout", "sample"))}
 
     def loss_fn(params):
         variables = {"params": params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
             logits, new_vars = state.apply_fn(variables, inputs, train=True,
+                                              rngs=rngs,
                                               mutable=["batch_stats"])
             bs = new_vars.get("batch_stats")
         else:
-            logits = state.apply_fn(variables, inputs, train=True)
+            logits = state.apply_fn(variables, inputs, train=True, rngs=rngs)
             bs = None
         return _dice_loss_from_logits(logits, targets), bs
 
@@ -70,7 +78,9 @@ def seg_train_step(state: TrainState, inputs, raw_labels):
 @jax.jit
 def seg_eval_step(state: TrainState, inputs, raw_labels):
     targets = binarize_segmentation(raw_labels)
-    logits = state.apply_fn(state.variables, inputs, train=False)
+    # Bayesian conv variants sample even in eval (pruned-mask local reparam)
+    logits = state.apply_fn(state.variables, inputs, train=False,
+                            rngs={"sample": jax.random.key(0)})
     return _dice_loss_from_logits(logits, targets)
 
 

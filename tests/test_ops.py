@@ -129,9 +129,8 @@ def test_norms_match_torch(rng):
 
 
 @pytest.mark.parametrize("stride,padding,dilation", [(1, 1, 1), (2, 0, 3)])
-def test_conv3d_dw_offset_loop_path(rng, stride, padding, dilation, monkeypatch):
-    """The huge-volume dw fallback (per-offset contractions) must match the
-    im2col path bit-for-bit-ish."""
+def test_conv3d_dw_fallback_path(rng, stride, padding, dilation, monkeypatch):
+    """The huge-volume dw fallback (XLA's rule) must match the im2col path."""
     import jax
 
     from mri_epilepsy_diagnosis_tpu.ops import functional as OF
@@ -146,8 +145,9 @@ def test_conv3d_dw_offset_loop_path(rng, stride, padding, dilation, monkeypatch)
     dw_im2col = jax.grad(loss)(w)
     monkeypatch.setattr(OF, "_DW_PATCHES_BYTES_LIMIT", 0)
     dw_loop = jax.grad(loss)(w)
+    # paths use different accumulation orders; agreement is to f32 roundoff
     np.testing.assert_allclose(np.asarray(dw_loop), np.asarray(dw_im2col),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_prelu_matches_torch(rng):
