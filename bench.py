@@ -26,6 +26,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: remote TPU compiles cost minutes; cached
+# executables reload in ~1s across processes
+jax.config.update("jax_compilation_cache_dir", "/tmp/mri_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 @contextlib.contextmanager
 def _deadline(seconds: int):
