@@ -26,16 +26,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# persistent compilation cache: remote TPU compiles cost minutes; cached
-# executables reload in ~1s across processes
-jax.config.update("jax_compilation_cache_dir", "/tmp/mri_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from mri_epilepsy_diagnosis_tpu.core.mesh import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 @contextlib.contextmanager
 def _deadline(seconds: int):
-    """Bound a section (remote compiles can take many minutes and sometimes
-    wedge); raises TimeoutError at expiry."""
+    """Bound a slow-but-progressing section; raises TimeoutError at expiry.
+
+    NB: a SIGALRM handler only runs when the main thread re-enters the
+    interpreter, so this cannot interrupt a compile wedged inside a native
+    call — it bounds sections that periodically return to Python (per-iter
+    readbacks). Observed compiler failures return errors rather than wedge."""
 
     def _raise(signum, frame):
         raise TimeoutError(f"bench section exceeded {seconds}s")

@@ -26,6 +26,15 @@ def local_device_count() -> int:
     return len(jax.devices())
 
 
+def enable_compilation_cache(path: str = "/tmp/mri_tpu_jax_cache",
+                             min_compile_secs: float = 1.0):
+    """Persistent executable cache — remote TPU compiles on this platform
+    cost minutes, cached reloads ~1s. Call before the first jit."""
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+
+
 def create_mesh(
     axis_names: Sequence[str] = ("data",),
     axis_sizes: Sequence[int] | None = None,
