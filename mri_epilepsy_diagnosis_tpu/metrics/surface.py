@@ -7,12 +7,17 @@ from scratch:
 
 - Surface elements live on the dual grid of 2x2x2 voxel neighborhoods; each
   neighborhood's binary occupancy is an 8-bit code.
-- Per-code surface areas are generated at import time by running **marching
-  tetrahedra** (6-tet cell decomposition, crossing vertices at edge midpoints
-  — the 0.5-threshold of a binary field) instead of shipping a hand-written
-  256-entry marching-cubes table.  Areas agree with the classic MC table on
-  all unambiguous configurations; ambiguous saddle codes differ by the
-  standard MC-vs-MT triangulation choice (sub-1% effect on aggregate ASD).
+- Per-code surface areas are generated on demand by a from-scratch marching
+  construction instead of shipping the hand-written 256-entry normals table
+  (`segmentation/metrics.py:343-599`): the inside corners of each cell are
+  split into edge-connected components, the isosurface contour polygon of
+  each component is traced across the cell faces (crossings at edge
+  midpoints — the 0.5-threshold of a binary field; diagonal "saddle" faces
+  separate positive corners), and each polygon is triangulated by its
+  maximum-area vertex fan.  This reproduces the reference table **exactly**
+  (all 256 codes, isotropic and anisotropic spacings — see
+  tests/test_metrics.py), because the classic MC triangulation that table
+  encodes is area-equivalent to the max-area fan of the contour polygon.
 - Distances between the two surfel clouds use the exact euclidean distance
   transform (`scipy.ndimage.distance_transform_edt`, with an optional native
   C++ fast path — see `native/`), with anisotropic spacing support.
@@ -30,7 +35,7 @@ import numpy as np
 from ..native import edt3d
 
 # ---------------------------------------------------------------------------
-# per-neighborhood-code surface area via marching tetrahedra
+# per-neighborhood-code surface area via contour-polygon marching
 # ---------------------------------------------------------------------------
 
 # Unit-cell corners indexed by the bit order of the neighborhood code:
@@ -38,39 +43,116 @@ from ..native import edt3d
 _CORNERS = np.array([[(k >> 2) & 1, (k >> 1) & 1, k & 1] for k in range(8)],
                     dtype=np.float64)
 
-# A standard 6-tetrahedra decomposition of the cube along the main diagonal
-# (corner indices into _CORNERS, using bit order (x<<2 | y<<1 | z)).
-_TETS = [
-    (0, 5, 1, 7), (0, 1, 3, 7), (0, 3, 2, 7),
-    (0, 2, 6, 7), (0, 6, 4, 7), (0, 4, 5, 7),
-]
+# Cube faces as (axis, value); corner k lies on face (ax, v) iff its ax
+# coordinate equals v.
+_FACES = [(ax, v) for ax in range(3) for v in (0, 1)]
 
 
-def _tet_surface_area(values, verts) -> float:
-    """Isosurface area at threshold 0 inside one tetrahedron with signed
-    corner `values` (+/-0.5 for binary masks -> crossings at edge midpoints)."""
-    inside = [i for i in range(4) if values[i] > 0]
-    if len(inside) in (0, 4):
-        return 0.0
+def _components(inside: frozenset) -> list:
+    """Edge-connected components of a set of cube-corner indices."""
+    comps, todo = [], set(inside)
+    while todo:
+        stack = [todo.pop()]
+        comp = {stack[0]}
+        while stack:
+            k = stack.pop()
+            for nb in range(8):
+                if bin(nb ^ k).count("1") == 1 and nb in todo:
+                    todo.remove(nb)
+                    comp.add(nb)
+                    stack.append(nb)
+        comps.append(comp)
+    return comps
 
-    def crossing(i, j):
-        t = values[i] / (values[i] - values[j])
-        return verts[i] + t * (verts[j] - verts[i])
 
-    if len(inside) in (1, 3):
-        a = inside[0] if len(inside) == 1 else [i for i in range(4)
-                                                if i not in inside][0]
-        others = [i for i in range(4) if i != a]
-        p = [crossing(a, o) for o in others]
-        return 0.5 * np.linalg.norm(np.cross(p[1] - p[0], p[2] - p[0]))
+def _contour_polygons(inside: frozenset) -> list:
+    """Isosurface contour polygons of a <=4-corner inside set.
 
-    # two inside / two outside -> quad (split into two triangles)
-    a, b = inside
-    c, d = [i for i in range(4) if i not in inside]
-    p = [crossing(a, c), crossing(a, d), crossing(b, d), crossing(b, c)]
-    area = 0.5 * np.linalg.norm(np.cross(p[1] - p[0], p[2] - p[0]))
-    area += 0.5 * np.linalg.norm(np.cross(p[2] - p[0], p[3] - p[0]))
-    return area
+    Crossing vertices sit at edge midpoints.  Each edge-connected component
+    of inside corners contributes one closed polygon: on every cube face the
+    contour segment links the component's two crossing points (for <=4 inside
+    corners a face never holds two *diagonal* corners of the same component,
+    so the trace is unambiguous; diagonal corners of different components
+    stay separated — the positive-separating marching convention).
+    """
+    polys = []
+    for comp in _components(inside):
+        cuts = {}  # (lo, hi) corner pair -> midpoint
+        for a in comp:
+            for b in range(8):
+                if bin(a ^ b).count("1") == 1 and b not in inside:
+                    cuts[tuple(sorted((a, b)))] = (
+                        _CORNERS[a] + _CORNERS[b]) / 2
+        segments = []
+        for ax, v in _FACES:
+            face = {k for k in range(8) if _CORNERS[k][ax] == v}
+            mine = face & comp
+            face_cuts = [e for e in cuts if set(e) <= face]
+            if len(mine) == 1 or len(mine) == 3:
+                # one corner (or an L of three): exactly two crossings link up
+                segments.append(tuple(face_cuts))
+            elif len(mine) == 2:
+                a, b = sorted(mine)
+                ca = [e for e in face_cuts if a in e]
+                cb = [e for e in face_cuts if b in e]
+                if len(ca) == 1 and len(cb) == 1:   # adjacent pair
+                    segments.append((ca[0], cb[0]))
+                # diagonal pair on one face belongs to two different
+                # components (unreachable here for a single component)
+        adj = {}
+        for e1, e2 in segments:
+            adj.setdefault(e1, []).append(e2)
+            adj.setdefault(e2, []).append(e1)
+        unvisited = set(adj)
+        while unvisited:
+            start = next(iter(unvisited))
+            cycle = [start]
+            unvisited.discard(start)
+            prev, cur = None, start
+            while True:
+                nxt = [x for x in adj[cur] if x != prev][0]
+                if nxt == start:
+                    break
+                cycle.append(nxt)
+                unvisited.discard(nxt)
+                prev, cur = cur, nxt
+            polys.append(np.array([cuts[e] for e in cycle]))
+    return polys
+
+
+def _tri_area(p0, p1, p2) -> float:
+    return 0.5 * float(np.linalg.norm(np.cross(p1 - p0, p2 - p0)))
+
+
+def _fan_triangles(poly: np.ndarray, f: int):
+    n = len(poly)
+    return [(poly[f], poly[(f + i) % n], poly[(f + i + 1) % n])
+            for i in range(1, n - 1)]
+
+
+@functools.lru_cache(maxsize=None)
+def _code_triangles(code: int):
+    """Unit-cell triangle list for one occupancy code.
+
+    Inside sets larger than 4 corners use the complement (same surface).
+    Non-planar contour polygons are triangulated by their **maximum-area
+    vertex fan at unit spacing** — the triangulation the reference's
+    hand-written normals table encodes (verified exactly over all 256 codes;
+    the fan is fixed here so anisotropic spacings scale the same triangles
+    the reference scales).
+    """
+    inside = frozenset(k for k in range(8) if (code >> k) & 1)
+    if len(inside) > 4:
+        inside = frozenset(range(8)) - inside
+    if not inside:
+        return ()
+    tris = []
+    for poly in _contour_polygons(inside):
+        best = max(range(len(poly)),
+                   key=lambda f: sum(_tri_area(*t)
+                                     for t in _fan_triangles(poly, f)))
+        tris.extend(_fan_triangles(poly, best))
+    return tuple((p0.copy(), p1.copy(), p2.copy()) for p0, p1, p2 in tris)
 
 
 @functools.lru_cache(maxsize=None)
@@ -78,12 +160,8 @@ def _area_table_key(spacing: Tuple[float, float, float]) -> np.ndarray:
     scale = np.asarray(spacing, np.float64)
     table = np.zeros(256, np.float64)
     for code in range(1, 255):
-        vals8 = np.array([0.5 if (code >> k) & 1 else -0.5 for k in range(8)])
-        verts = _CORNERS * scale  # physical coordinates
-        area = 0.0
-        for tet in _TETS:
-            area += _tet_surface_area(vals8[list(tet)], verts[list(tet)])
-        table[code] = area
+        table[code] = sum(_tri_area(p0 * scale, p1 * scale, p2 * scale)
+                          for p0, p1, p2 in _code_triangles(code))
     return table
 
 

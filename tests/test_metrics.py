@@ -69,13 +69,38 @@ def test_surface_metrics_parity_with_reference_library():
 
     asd_m = M.compute_average_surface_distance(mine)
     asd_t = ref.compute_average_surface_distance(theirs)
-    assert asd_m[0] == pytest.approx(asd_t[0], rel=0.02)
-    assert asd_m[1] == pytest.approx(asd_t[1], rel=0.02)
+    assert asd_m[0] == pytest.approx(asd_t[0], rel=1e-3)
+    assert asd_m[1] == pytest.approx(asd_t[1], rel=1e-3)
     assert (M.compute_robust_hausdorff(mine, 95)
-            == pytest.approx(ref.compute_robust_hausdorff(theirs, 95), rel=0.05))
+            == pytest.approx(ref.compute_robust_hausdorff(theirs, 95),
+                             rel=1e-3))
     assert (M.compute_surface_dice_at_tolerance(mine, 1.0)
             == pytest.approx(ref.compute_surface_dice_at_tolerance(theirs, 1.0),
-                             rel=0.01))
+                             rel=1e-3))
     assert (M.compute_dice_coefficient(sphere, blob)
             == pytest.approx(ref.compute_dice_coefficient(sphere, blob),
                              rel=1e-9))
+
+
+@requires_reference
+@pytest.mark.parametrize("spacing", [(1.0, 1.0, 1.0), (0.7, 1.3, 2.1),
+                                     (2.0, 0.5, 0.9)])
+def test_area_table_parity_all_256_codes(spacing):
+    """The generated area table must reproduce the reference's hand-written
+    256-entry marching-cubes normals table bit-for-bit (up to f64 rounding),
+    isotropic and anisotropic."""
+    sys.path.insert(0, "/root/reference/segmentation")
+    import metrics as ref
+
+    theirs = np.zeros(256)
+    for code in range(256):
+        normals = np.asarray(ref.neighbour_code_to_normals[code], np.float64)
+        if normals.size:
+            n = normals.reshape(-1, 3).copy()
+            n[:, 0] *= spacing[1] * spacing[2]
+            n[:, 1] *= spacing[0] * spacing[2]
+            n[:, 2] *= spacing[0] * spacing[1]
+            theirs[code] = np.linalg.norm(n, axis=1).sum()
+
+    mine = M.neighbour_code_to_surface_area(spacing)
+    np.testing.assert_allclose(mine, theirs, rtol=1e-12, atol=1e-12)
