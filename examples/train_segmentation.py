@@ -57,9 +57,10 @@ def main():
         train_set, val_set = Subset(data, idx[:cut]), Subset(data, idx[cut:])
 
     if args.patches:
-        train_loader = PatchQueue(train_set, samples_per_volume=6,
-                                  patch_size=64, max_length=180)
-        train_loader = DataLoader(list(train_loader), batch_size=16)
+        from mri_epilepsy_diagnosis_tpu.data import batched
+        queue = PatchQueue(train_set, samples_per_volume=6,
+                           patch_size=64, max_length=180, num_workers=2)
+        train_loader = batched(queue, batch_size=16)
         val_loader = DataLoader(val_set, batch_size=1)
     else:
         train_loader = DataLoader(train_set, batch_size=args.batch_size)

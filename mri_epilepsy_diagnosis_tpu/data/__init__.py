@@ -1,4 +1,5 @@
-from .pipeline import DataLoader, Subset, PatchQueue, default_collate, prefetch_to_device
+from .pipeline import (DataLoader, Subset, PatchQueue, batched,
+                       default_collate, prefetch_to_device)
 
-__all__ = ["DataLoader", "Subset", "PatchQueue", "default_collate",
-           "prefetch_to_device"]
+__all__ = ["DataLoader", "Subset", "PatchQueue", "batched",
+           "default_collate", "prefetch_to_device"]

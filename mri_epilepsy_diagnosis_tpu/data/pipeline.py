@@ -113,6 +113,7 @@ class PatchQueue:
         self.shuffle_subjects = shuffle_subjects
         self.shuffle_patches = shuffle_patches
         self.transform = transform
+        self.num_workers = num_workers
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -131,26 +132,116 @@ class PatchQueue:
                         seg[:, i:i + pd, j:j + ph, k:k + pw]))
         return out
 
-    def __iter__(self):
+    def _load(self, si: int):
+        item = self.dataset[int(si)]
+        if self.transform is not None:
+            item = self.transform(item)
+        img, seg = item
+        return np.asarray(img), np.asarray(seg)
+
+    def _produce(self):
+        """Generator of patches in the same order as the original
+        synchronous loop (one RNG, one consumer order — deterministic)."""
         order = np.arange(len(self.dataset))
         if self.shuffle_subjects:
             self.rng.shuffle(order)
-        buffer = []
-        for si in order:
-            item = self.dataset[int(si)]
-            if self.transform is not None:
-                item = self.transform(item)
-            img, seg = item
-            buffer.extend(self._sample_patches(np.asarray(img), np.asarray(seg)))
-            while len(buffer) >= self.max_length:
-                if self.shuffle_patches:
-                    self.rng.shuffle(buffer)
-                while buffer:
-                    yield buffer.pop()
-        if self.shuffle_patches:
-            self.rng.shuffle(buffer)
-        while buffer:
-            yield buffer.pop()
+
+        if self.num_workers > 1:
+            # subject decode is the slow host step; overlap several loads
+            # while sampling stays in this thread (deterministic RNG order).
+            # In-flight submissions are bounded so slow consumers don't pull
+            # the whole dataset into memory.
+            import collections as _c
+            import concurrent.futures as cf
+            pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+            pending: _c.deque = _c.deque()
+            order_it = iter(order)
+
+            def get():
+                while len(pending) < self.num_workers + 1:
+                    try:
+                        pending.append(pool.submit(self._load, next(order_it)))
+                    except StopIteration:
+                        break
+                return pending.popleft().result()
+        else:
+            order_it = iter(order)
+            pool = None
+            get = lambda: self._load(next(order_it))
+
+        try:
+            buffer = []
+            for _ in range(len(order)):
+                img, seg = get()
+                buffer.extend(self._sample_patches(img, seg))
+                while len(buffer) >= self.max_length:
+                    if self.shuffle_patches:
+                        self.rng.shuffle(buffer)
+                    while buffer:
+                        yield buffer.pop()
+            if self.shuffle_patches:
+                self.rng.shuffle(buffer)
+            while buffer:
+                yield buffer.pop()
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
+
+    def __iter__(self):
+        """Patches are produced by a background thread (bounded queue) so
+        subject decode + patch sampling overlap the consumer's device steps
+        — the torchio `Queue(num_workers=cpu_count())` role
+        (`segmentation/routine.py:158,169`).  `num_workers=0` keeps the
+        fully synchronous in-thread path."""
+        if self.num_workers <= 0:
+            yield from self._produce()
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=max(2 * self.max_length, 16))
+        _END, _ERR = object(), object()
+
+        def producer():
+            try:
+                for patch in self._produce():
+                    q.put(patch)
+                q.put(_END)
+            except BaseException as e:  # surface load errors to the consumer
+                q.put((_ERR, e))
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield item
+
+
+class batched:
+    """Batch a streaming iterable (e.g. a PatchQueue) without materializing
+    it — the torch `DataLoader(queue, batch_size=...)` role for iterables.
+    Re-iterable as long as the underlying iterable is (PatchQueue starts a
+    fresh producer pass per `__iter__`, so epoch loops just work)."""
+
+    def __init__(self, iterable: Iterable, batch_size: int,
+                 collate_fn: Callable = default_collate,
+                 drop_last: bool = False):
+        self.iterable = iterable
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.drop_last = drop_last
+
+    def __iter__(self):
+        buf = []
+        for item in self.iterable:
+            buf.append(item)
+            if len(buf) == self.batch_size:
+                yield self.collate_fn(buf)
+                buf = []
+        if buf and not self.drop_last:
+            yield self.collate_fn(buf)
 
 
 def prefetch_to_device(iterator: Iterable, size: int = 2, sharding=None):

@@ -80,17 +80,23 @@ def _class_step(state: TrainState, x, y, rng, train: bool):
 
 def run_one_epoch(state: TrainState, loader, train: bool, rng_stream=None,
                   scheduler: Optional[ReduceLROnPlateau] = None,
-                  experiment=None, epoch: int = 0):
+                  experiment=None, epoch: int = 0, prefetch: int = 2):
     """One pass over `loader`; returns (state, losses, probs, targets).
 
     Dropout/sampling randomness is seeded per epoch (fold_in of `epoch`)
-    so masks differ across epochs while runs stay reproducible."""
+    so masks differ across epochs while runs stay reproducible.  Host batch
+    prep overlaps device compute via `prefetch` staged device batches
+    (0 = synchronous)."""
+    from ..data.pipeline import prefetch_to_device
+
     losses, probs, targets = [], [], []
     key = jax.random.fold_in(jax.random.key(0), epoch)
-    for batch in loader:
+    batches = (prefetch_to_device(iter(loader), size=prefetch)
+               if prefetch > 0 else loader)
+    for batch in batches:
         x, y = batch[0], batch[1]
         x = jnp.asarray(x)
-        y = jnp.asarray(np.asarray(y), jnp.int32)
+        y = jnp.asarray(y).astype(jnp.int32)
         key, sub = jax.random.split(key if rng_stream is None
                                     else rng_stream.next())
         state, loss, p = _class_step(state, x, y, sub, train)

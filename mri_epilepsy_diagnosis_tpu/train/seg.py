@@ -85,11 +85,22 @@ def seg_eval_step(state: TrainState, inputs, raw_labels):
 
 
 def run_epoch(epoch_idx: int, action: Action, loader, state: TrainState,
-              scheduler=None, experiment=None):
-    """One pass; returns (state, np.array of batch losses)."""
+              scheduler=None, experiment=None, prefetch: int = 2,
+              sharding=None):
+    """One pass; returns (state, np.array of batch losses).
+
+    Host batch prep is overlapped with device compute by staging `prefetch`
+    batches ahead as committed device arrays (`data.prefetch_to_device`);
+    `sharding` places them on a mesh.  `prefetch=0` keeps the synchronous
+    transfer-per-step path."""
+    from ..data.pipeline import prefetch_to_device
+
     is_training = action == Action.TRAIN
     epoch_losses = []
-    for batch in loader:
+    batches = (prefetch_to_device(iter(loader), size=prefetch,
+                                  sharding=sharding)
+               if prefetch > 0 else loader)
+    for batch in batches:
         inputs = jnp.asarray(batch[0])
         targets = jnp.asarray(batch[1])
         if is_training:
