@@ -47,6 +47,12 @@ def main():
                                  img_shape=(size,) * 3)
 
     if args.model == "dilated":
+        # the reference DilatedCNN's flatten formula ((s-61)//16 - 5)^3
+        # requires s >= 157 — reject sizes its geometry can't support
+        if (size - 61) // 16 - 5 < 1:
+            raise SystemExit(
+                f"DilatedCNN needs --img-size >= 157 (got {size}); "
+                "use --model voxresnet for small smoke runs")
         model = DilatedCNN(input_shape=(size,) * 3,
                            n_channels=4 if args.synthetic else 32)
     else:

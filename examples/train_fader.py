@@ -47,13 +47,21 @@ def main():
     p.add_argument("--batch-size", type=int, default=35)
     p.add_argument("--disc-loop", type=int, default=3)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--img-size", type=int, default=192,
+                   help="must be 3*4^depth (the heads want a 3^3 latent): "
+                        "192, 48, or 12; smaller sizes shrink the encoder "
+                        "depth for smoke runs")
     args = p.parse_args()
+
+    size = args.img_size
+    depth = {192: 3, 48: 2, 12: 1}.get(size)
+    if depth is None:
+        raise SystemExit(f"--img-size must be one of 192/48/12, got {size}")
 
     n_domains = N_DOMAINS
     if args.synthetic:
-        # encoder input must reduce 64x to a >=1 voxel latent: use 192 crop
-        # on real data; the smoke slice shrinks the net instead
-        size = 192
+        # encoder input must reduce 4^depth x to the 3^3 latent the heads
+        # expect: 192 crop on real data; smoke runs shrink size and depth
         data = SyntheticVolumes(n=8, img_shape=(size,) * 3, kind="noise",
                                 domains=np.arange(8) % 3)
         n_domains = 3
@@ -71,12 +79,19 @@ def main():
     train_loader = DataLoader(data, shuffle=True, **loader_kw)
     val_loader = DataLoader(data, **loader_kw)
 
-    encoder = make_encoder(AE_KWARGS)
-    clf = Classificator(n_class=2, **HEAD_KWARGS)
-    disc = Discriminator(n_domains=n_domains, **HEAD_KWARGS)
+    ae_kwargs = dict(AE_KWARGS, deapth=depth)
+    head_kwargs = dict(HEAD_KWARGS)
+    if depth != 3:  # scale the heads to the shrunken latent channel count
+        c_latent = ae_kwargs["c_base"] * 2 ** (depth - 1)
+        head_kwargs.update(c_in=c_latent, c_out=2 * c_latent,
+                           l_in=2 * c_latent, l_out=c_latent)
+
+    encoder = make_encoder(ae_kwargs)
+    clf = Classificator(n_class=2, **head_kwargs)
+    disc = Discriminator(n_domains=n_domains, **head_kwargs)
 
     key = jax.random.key(0)
-    x0 = jnp.zeros((1, 192, 192, 192, 1))
+    x0 = jnp.zeros((1, size, size, size, 1))
     enc_state = create_train_state(
         encoder, torch_adam(7e-4, betas=(0.9, 0.999), weight_decay=1e-4), x0, key)
     latent0, _ = encoder.apply(enc_state.variables, x0)
