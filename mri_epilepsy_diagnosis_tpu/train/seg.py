@@ -120,18 +120,21 @@ def train_segmentation(num_epochs: int, training_loader, validation_loader,
                        state: TrainState, scheduler: Optional[ReduceLROnPlateau],
                        weights_stem: str, save_epoch: int = 1,
                        experiment=None, verbose: bool = True,
-                       weights_dir: str = "weights"):
+                       weights_dir: str = "weights", sharding=None):
+    """`sharding` (optional NamedSharding) places every prefetched batch on a
+    device mesh — data/spatial-parallel training over `core.mesh.create_mesh`
+    with the same loop."""
     start_time = time.time()
     epoch_train_loss, epoch_val_loss = [], []
 
     state, _ = run_epoch(0, Action.VALIDATE, validation_loader, state,
-                         scheduler, experiment)
+                         scheduler, experiment, sharding=sharding)
 
     for epoch_idx in range(1, num_epochs + 1):
         state, tr = run_epoch(epoch_idx, Action.TRAIN, training_loader,
-                              state, scheduler, experiment)
+                              state, scheduler, experiment, sharding=sharding)
         state, va = run_epoch(epoch_idx, Action.VALIDATE, validation_loader,
-                              state, scheduler, experiment)
+                              state, scheduler, experiment, sharding=sharding)
         epoch_train_loss.append(float(np.mean(tr)))
         epoch_val_loss.append(float(np.mean(va)))
         if verbose:

@@ -90,6 +90,57 @@ def test_data_parallel_unet_matches_single_device(rng):
     np.testing.assert_allclose(out, direct, rtol=1e-4, atol=1e-4)
 
 
+def test_full_train_loop_on_mesh_with_resume(rng, tmp_path):
+    """End-to-end `train_segmentation` over a (4,2) mesh: sharded batches,
+    two epochs, per-epoch checkpointing, then mid-run resume into a fresh
+    state (VERDICT r1 item 9 — previously only single steps were
+    mesh-tested)."""
+    _require_devices(8)
+    from mri_epilepsy_diagnosis_tpu.train.checkpoint import load_checkpoint
+    from mri_epilepsy_diagnosis_tpu.train.seg import (get_model_and_optimizer,
+                                                      train_segmentation)
+
+    mesh = create_mesh(("data", "spatial"), (4, 2))
+    vol_shard = NamedSharding(mesh, P("data", "spatial"))
+
+    def make_loader(n_batches):
+        out = []
+        for b in range(n_batches):
+            r = np.random.default_rng(b)
+            x = r.normal(size=(8, 16, 16, 16, 1)).astype(np.float32)
+            y = (r.random((8, 16, 16, 16, 1)) > 0.7).astype(np.float32)
+            out.append((x, y))
+        return out
+
+    model, state, sched = get_model_and_optimizer(
+        jnp.zeros((1, 16, 16, 16, 1)), num_encoding_blocks=2,
+        out_channels_first_layer=4)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    state, tr, va = train_segmentation(
+        2, make_loader(2), make_loader(1), state, sched,
+        weights_stem="mesh", weights_dir=str(tmp_path), verbose=False,
+        sharding=vol_shard)
+    assert len(tr) == 2 and np.isfinite(tr).all() and np.isfinite(va).all()
+
+    # resume from the epoch-1 checkpoint into a fresh replicated state and
+    # train one more epoch on the mesh
+    _, fresh, sched2 = get_model_and_optimizer(
+        jnp.zeros((1, 16, 16, 16, 1)), num_encoding_blocks=2,
+        out_channels_first_layer=4, seed=123)
+    resumed = load_checkpoint(str(tmp_path / "mesh_epoch_1.ckpt"), fresh)
+    assert int(resumed.step) == int(state.step) // 2  # one epoch in
+    resumed = jax.device_put(resumed, NamedSharding(mesh, P()))
+    resumed, tr2, _ = train_segmentation(
+        1, make_loader(2), make_loader(1), resumed, sched2,
+        weights_stem="resumed", weights_dir=str(tmp_path), verbose=False,
+        sharding=vol_shard)
+    assert np.isfinite(tr2).all()
+    # epoch 2 from the restored epoch-1 weights reproduces the original run
+    # (same data order, same step counter -> same dropout keys)
+    np.testing.assert_allclose(tr2[0], tr[1], rtol=1e-4)
+
+
 def test_graft_entry_dryrun():
     _require_devices(8)
     sys.path.insert(0, "/root/repo")
