@@ -72,6 +72,53 @@ def bench_infer(model, variables, size, batch, iters):
     return batch * iters / (time.perf_counter() - t0)
 
 
+def bench_ensemble(size, batch, iters):
+    """North-star workload (BASELINE.json config 5): whole-brain
+    segmentation + FCD classification per volume, device-resident.
+
+    Segmenter: the ocfl=8 UNet; classifier: the fader encoder +
+    Classificator head with the reference's exact kwargs schemas
+    (train_ENC_CLF.ipynb cell 17 — geometry requires the 192^3 crop).
+    """
+    from mri_epilepsy_diagnosis_tpu.models import Classificator, UNet3D
+    from mri_epilepsy_diagnosis_tpu.models.fader import make_encoder
+
+    ae_kwargs = dict(c_in=1, is_skip=False, deapth=3, c_base=8, inc_size=2,
+                     reduce_size=False,
+                     down_block_kwargs=dict(conv_k=6, conv_pad=2, conv_s=2,
+                                            maxpool_k=2, maxpool_s=2,
+                                            batch_norm=True, act="l_relu"))
+    head_kwargs = dict(c_in=32, c_out=64, conv_k=3, conv_s=1, conv_pad=0,
+                       l_in=64, l_out=32, batch_norm=True, act="relu",
+                       p_drop=0.5)
+
+    seg = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
+                 out_channels_first_layer=8)
+    enc = make_encoder(ae_kwargs)
+    clf = Classificator(n_class=2, **head_kwargs)
+
+    seg_v = seg.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)))
+    enc_v = enc.init(jax.random.key(1), jnp.zeros((1, size, size, size, 1)))
+    latent0, _ = enc.apply(enc_v, jnp.zeros((1, size, size, size, 1)))
+    clf_v = clf.init(jax.random.key(2), latent0)
+
+    @jax.jit
+    def step(seg_v, enc_v, clf_v, x):
+        mask = jnp.argmax(seg.apply(seg_v, x), axis=-1)
+        latent, _ = enc.apply(enc_v, x)
+        probs = jax.nn.softmax(clf.apply(clf_v, latent), axis=-1)
+        return mask.sum() + probs.sum()
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(batch, size, size, size, 1)), jnp.bfloat16)
+    float(step(seg_v, enc_v, clf_v, x))  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(seg_v, enc_v, clf_v, x)
+    float(out)
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def bench_train(state, size, iters):
     from mri_epilepsy_diagnosis_tpu.train.seg import seg_train_step
 
@@ -104,6 +151,15 @@ def main():
     variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)))
 
     infer_vol_per_s = bench_infer(model, variables, size, batch, iters)
+
+    # seg+clf ensemble (the fader encoder geometry needs the 192^3 crop)
+    ensemble_rate = float("nan")
+    if size == 192:
+        try:
+            with _deadline(900):
+                ensemble_rate = bench_ensemble(size, batch, iters)
+        except Exception as e:
+            print(f"# ensemble bench failed: {type(e).__name__}", flush=True)
 
     F.set_precision_override("fast")
     train_rate, train_size = float("nan"), None
@@ -155,6 +211,9 @@ def main():
         "train_vs_baseline": _num(train_rate / REFERENCE_TRAIN_VOL_PER_S, 1),
         "train_patches_per_s": _num(patch_rate, 1),
         "patch_vs_baseline": _num(patch_rate / REFERENCE_TRAIN_PATCHES_PER_S, 1),
+        # north star: >=50 vol/s seg+clf on v5e-8 => 6.25 vol/s per chip
+        "ensemble_vol_per_s": _num(ensemble_rate),
+        "ensemble_vs_target_per_chip": _num(ensemble_rate / 6.25, 2),
         "volume_size": size,
         "train_volume_size": train_size,
         "batch": batch,
