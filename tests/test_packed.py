@@ -1,0 +1,96 @@
+"""Packed (space-to-depth) execution layout — exactness vs the fine path."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mri_epilepsy_diagnosis_tpu.ops import functional as F
+from mri_epilepsy_diagnosis_tpu.ops import packed as P
+
+
+def test_pack_unpack_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 16, 5)), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(P.unpack2(P.pack2(x))),
+                                  np.asarray(x))
+
+
+def test_conv3_packed_matches_fine(rng):
+    x = jnp.asarray(rng.normal(size=(2, 12, 12, 12, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 5)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(5,)), jnp.float32)
+    ref = F.conv3d(x, w, b, padding=1)
+    out = P.unpack2(P.conv3_packed(P.pack2_shifted(x), P.pack_weights2(w), b))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_repack_shifted_matches_pack2_shifted(rng):
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 4)), jnp.float32)
+    direct = P.pack2_shifted(x)
+    via_aligned = P.repack_shifted(P.pack2(x))
+    np.testing.assert_array_equal(np.asarray(via_aligned), np.asarray(direct))
+
+
+def test_chained_convs_packed(rng):
+    """conv -> conv without leaving packed layout (repack_shifted path)."""
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 2)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, 3, 2, 4)) * 0.2, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 3)) * 0.2, jnp.float32)
+    ref = F.conv3d(F.conv3d(x, w1, padding=1), w2, padding=1)
+
+    y = P.conv3_packed(P.pack2_shifted(x), P.pack_weights2(w1))
+    y = P.conv3_packed(P.repack_shifted(y), P.pack_weights2(w2))
+    np.testing.assert_allclose(np.asarray(P.unpack2(y)), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_maxpool2_packed_matches_fine(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 4)), jnp.float32)
+    ref = P.pack2(F.maxpool3d(x, 2))
+    out = P.maxpool2_packed(P.pack2(x))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_upsample2_packed_matches_fine(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 4)), jnp.float32)
+    ref = P.pack2(F.resize_linear(x, (16, 16, 16), align_corners=False))
+    out = P.upsample2_packed(P.pack2(x))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv1_packed_and_concat(rng):
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 6)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 2)), jnp.float32)
+    cat_ref = P.pack2(jnp.concatenate([x, y], axis=-1))
+    cat = P.concat_channels_packed(P.pack2(x), P.pack2(y))
+    np.testing.assert_array_equal(np.asarray(cat), np.asarray(cat_ref))
+
+    w = jnp.asarray(rng.normal(size=(1, 1, 1, 6, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(2,)), jnp.float32)
+    ref = F.conv3d(x, w, b)
+    out = P.unpack2(P.conv1_packed(P.pack2(x), w, b))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("ocfl,nb,size", [(4, 2, 8), (8, 3, 16)])
+def test_packed_unet_matches_unet3d(rng, ocfl, nb, size):
+    """The packed forward must reproduce UNet3D.apply exactly (same
+    variables, eval mode) — the flagship parity guarantee."""
+    from mri_epilepsy_diagnosis_tpu.models import UNet3D
+    from mri_epilepsy_diagnosis_tpu.models.unet_packed import packed_unet_apply
+
+    model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=nb,
+                   out_channels_first_layer=ocfl)
+    v = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)))
+    # make BN stats nontrivial (one train-mode pass)
+    x0 = jnp.asarray(rng.normal(size=(2, size, size, size, 1)), jnp.float32)
+    _, new_vars = model.apply(v, x0, train=True, mutable=["batch_stats"])
+    v = {"params": v["params"], "batch_stats": new_vars["batch_stats"]}
+
+    x = jnp.asarray(rng.normal(size=(2, size, size, size, 1)), jnp.float32)
+    ref = np.asarray(model.apply(v, x))
+    out = np.asarray(packed_unet_apply(v, x, num_encoding_blocks=nb))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
