@@ -163,17 +163,25 @@ def main():
 
     F.set_precision_override("fast")
     train_rate, train_size = float("nan"), None
-    for ts, budget in ([(192, 420), (128, 900)] if on_tpu else [(32, 900)]):
+    # 192^3 first tries layer-wise remat (smaller live set + autodiff graph
+    # than the plain backward, which crashed the remote compiler in round 1)
+    attempts = ([(192, 600, True), (192, 420, False), (128, 900, False)]
+                if on_tpu else [(32, 900, False)])
+    for ts, budget, remat in attempts:
         try:
             with _deadline(budget):
-                state = create_train_state(model, torch_adamw(1e-3),
+                train_model = (UNet3D(in_channels=1, out_classes=2,
+                                      num_encoding_blocks=3,
+                                      out_channels_first_layer=8, remat=True)
+                               if remat else model)
+                state = create_train_state(train_model, torch_adamw(1e-3),
                                            jnp.zeros((1, 16, 16, 16, 1)))
                 train_rate = bench_train(state, ts, iters)
             train_size = ts
             break
         except Exception as e:  # remote-compiler rejection / deadline
-            print(f"# train bench at {ts}^3 failed: {type(e).__name__}",
-                  flush=True)
+            print(f"# train bench at {ts}^3 (remat={remat}) failed: "
+                  f"{type(e).__name__}", flush=True)
 
     # patch-training throughput (64^3 patches, batch 16 — the reference's
     # torchio Queue workload, pretraining_3d_unet.ipynb cell 25)

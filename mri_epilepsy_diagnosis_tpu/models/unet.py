@@ -90,19 +90,22 @@ class _Encoder(nn.Module):
     in_channels: int
     ocfl: int
     num_blocks: int
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         skips = []
         c_in = self.in_channels
         c1 = self.ocfl
+        block_cls = (nn.remat(EncodingBlock, static_argnums=(2,))
+                     if self.remat else EncodingBlock)
         for i in range(self.num_blocks - 1):
             if i == 0:
-                blk = EncodingBlock(c_in, c1, 2 * c1, first=True,
-                                    name=f"encoding_blocks__{i}")
+                blk = block_cls(c_in, c1, 2 * c1, first=True,
+                                name=f"encoding_blocks__{i}")
             else:
-                blk = EncodingBlock(c_in, c_in, 2 * c_in,
-                                    name=f"encoding_blocks__{i}")
+                blk = block_cls(c_in, c_in, 2 * c_in,
+                                name=f"encoding_blocks__{i}")
             x = blk(x, train)
             skips.append(x)
             x = F.maxpool3d(x, 2)
@@ -112,30 +115,43 @@ class _Encoder(nn.Module):
 
 class _Decoder(nn.Module):
     channels: Sequence[tuple]  # [(in_cat, out), ...]
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, skips, train: bool = False):
+        block_cls = (nn.remat(DecodingBlock, static_argnums=(3,))
+                     if self.remat else DecodingBlock)
         for i, (cin, cout) in enumerate(self.channels):
-            x = DecodingBlock(cin, cout, name=f"decoding_blocks__{i}")(
+            x = block_cls(cin, cout, name=f"decoding_blocks__{i}")(
                 x, skips[-(i + 1)], train)
         return x
 
 
 class UNet3D(nn.Module):
-    """Parity UNet. Returns logits (N,D,H,W,out_classes)."""
+    """Parity UNet. Returns logits (N,D,H,W,out_classes).
+
+    `remat=True` wraps every encoder/decoder block in `jax.checkpoint`
+    (layer-wise rematerialization): backward recomputes block activations
+    instead of keeping them live, cutting peak training memory and graph
+    size for whole-volume (192^3) training.  Parameter names/shapes are
+    unchanged — checkpoints stay interchangeable with remat=False."""
     in_channels: int = 1
     out_classes: int = 2
     num_encoding_blocks: int = 3
     out_channels_first_layer: int = 8
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ocfl = self.out_channels_first_layer
         nb = self.num_encoding_blocks
-        x, skips = _Encoder(self.in_channels, ocfl, nb, name="encoder")(x, train)
+        x, skips = _Encoder(self.in_channels, ocfl, nb, remat=self.remat,
+                            name="encoder")(x, train)
         # bottom block: conv1 keeps channels, conv2 doubles
         cb = x.shape[-1]
-        x = EncodingBlock(cb, cb, 2 * cb, name="bottom_block")(x, train)
+        bottom_cls = (nn.remat(EncodingBlock, static_argnums=(2,))
+                      if self.remat else EncodingBlock)
+        x = bottom_cls(cb, cb, 2 * cb, name="bottom_block")(x, train)
         # decoder channel plan: at step i, up has C_up, skip has C_up//2,
         # output C_up//2
         dec_channels = []
@@ -143,7 +159,8 @@ class UNet3D(nn.Module):
         for _ in range(nb - 1):
             dec_channels.append((c_up + c_up // 2, c_up // 2))
             c_up = c_up // 2
-        x = _Decoder(tuple(dec_channels), name="decoder")(x, skips, train)
+        x = _Decoder(tuple(dec_channels), remat=self.remat,
+                     name="decoder")(x, skips, train)
         x = ConvBlock(c_up, self.out_classes, normalization=False,
                       activation=False, kernel_size=1, padding=0,
                       name="classifier")(x, train)

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from mri_epilepsy_diagnosis_tpu.models import (BraTSUnet, CNN, ConvLSTM,
                                                DilatedCNN, Modified3DUNet,
                                                PatchModel, ResidualUNet3D,
-                                               VoxResNet)
+                                               UNet3D, VoxResNet)
 from mri_epilepsy_diagnosis_tpu.models.bayes import BayesConv3d
 from mri_epilepsy_diagnosis_tpu.ops import functional as _F
 
@@ -122,3 +122,37 @@ def test_bayes_conv(rng):
     # eval mode with alpha below threshold ~ deterministic conv + small noise
     ye = m.apply(v, x, False, rngs={"sample": jax.random.key(4)})
     assert ye.shape == (1, 8, 8, 8, 4)
+
+
+def test_unet_remat_identical(rng):
+    """remat=True must not change params, outputs, or gradients — it only
+    changes the autodiff schedule (jax.checkpoint on each block)."""
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)), jnp.float32)
+    base = UNet3D(num_encoding_blocks=2, out_channels_first_layer=4)
+    fast = UNet3D(num_encoding_blocks=2, out_channels_first_layer=4,
+                  remat=True)
+    v = base.init(jax.random.key(0), x)
+    v2 = fast.init(jax.random.key(0), x)
+    assert jax.tree.structure(v) == jax.tree.structure(v2)
+    np.testing.assert_array_equal(
+        np.asarray(v["params"]["encoder"]["encoding_blocks__0"]["conv1"]
+                   ["conv_layer"]["weight"]),
+        np.asarray(v2["params"]["encoder"]["encoding_blocks__0"]["conv1"]
+                   ["conv_layer"]["weight"]))
+    np.testing.assert_allclose(np.asarray(base.apply(v, x)),
+                               np.asarray(fast.apply(v, x)),
+                               rtol=1e-6, atol=1e-6)
+
+    if True:
+        def loss(m, vv):
+            return jnp.sum(jnp.square(m.apply(vv, x, train=True,
+                                              mutable=["batch_stats"])[0]))
+        g1 = jax.grad(lambda p: loss(base, {"params": p,
+                                            "batch_stats": v["batch_stats"]}))(
+            v["params"])
+        g2 = jax.grad(lambda p: loss(fast, {"params": p,
+                                            "batch_stats": v["batch_stats"]}))(
+            v["params"])
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
