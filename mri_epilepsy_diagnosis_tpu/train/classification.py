@@ -115,7 +115,8 @@ def run_one_epoch(state: TrainState, loader, train: bool, rng_stream=None,
 def train(state: TrainState, train_dataloader, val_dataloader, metric,
           scheduler: Optional[ReduceLROnPlateau] = None, verbose: int = 0,
           model_save_path: Optional[str] = None, max_epoch: int = 20,
-          eps: float = 3e-3, max_patience: int = 10, experiment=None):
+          eps: float = 3e-3, max_patience: int = 10, experiment=None,
+          dashboard=None):
     """Epoch driver; returns (state, last_train_loss, last_train_metric,
     last_val_loss, last_val_metric)."""
     patience = 0
@@ -144,6 +145,11 @@ def train(state: TrainState, train_dataloader, val_dataloader, metric,
             if experiment:
                 experiment.log_metrics({"mean_val_loss": evl[-1],
                                         "val_metric": evm[-1]}, epoch=epoch)
+        if dashboard is not None:  # live per-epoch redraw
+            dashboard.update(
+                train_loss=etl[-1], train_metric=etm[-1],
+                val_loss=evl[-1] if val_dataloader is not None else None,
+                val_metric=evm[-1] if val_dataloader is not None else None)
         if verbose:
             print(f"Epoch {epoch + 1} of {max_epoch} took "
                   f"{time.time() - t0:.3f}s")

@@ -149,7 +149,7 @@ def train_fader(fstate: FaderState, train_loader, val_loader, epochs: int,
                 lambda_initial: float, lambda_step: float, max_step: int,
                 n_domains: int, disc_loop: int = 1, class_weight=None,
                 domain_weight=None, experiment=None, verbose: bool = True,
-                rng_seed: int = 0):
+                rng_seed: int = 0, dashboard=None):
     """ENC_CLF epoch driver (train_ENC_CLF.ipynb cell 16 semantics).
 
     Returns (fstate, history dict with per-epoch accuracy / roc_auc /
@@ -233,6 +233,8 @@ def train_fader(fstate: FaderState, train_loader, val_loader, epochs: int,
             except ValueError:
                 hist["roc"].append(float("nan"))
 
+        if dashboard is not None:  # 12-panel live redraw per epoch
+            dashboard.update(hist)
         if verbose:
             print(f"epoch {epoch}: {time.time() - t0:.1f}s "
                   f"train acc {hist['acc_train'][-1]:.3f} "

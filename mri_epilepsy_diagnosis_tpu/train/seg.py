@@ -120,7 +120,8 @@ def train_segmentation(num_epochs: int, training_loader, validation_loader,
                        state: TrainState, scheduler: Optional[ReduceLROnPlateau],
                        weights_stem: str, save_epoch: int = 1,
                        experiment=None, verbose: bool = True,
-                       weights_dir: str = "weights", sharding=None):
+                       weights_dir: str = "weights", sharding=None,
+                       dashboard=None):
     """`sharding` (optional NamedSharding) places every prefetched batch on a
     device mesh — data/spatial-parallel training over `core.mesh.create_mesh`
     with the same loop."""
@@ -137,6 +138,9 @@ def train_segmentation(num_epochs: int, training_loader, validation_loader,
                               state, scheduler, experiment, sharding=sharding)
         epoch_train_loss.append(float(np.mean(tr)))
         epoch_val_loss.append(float(np.mean(va)))
+        if dashboard is not None:  # live per-epoch redraw
+            dashboard.update(train_loss=epoch_train_loss[-1],
+                             val_loss=epoch_val_loss[-1])
         if verbose:
             print(f"Epoch {epoch_idx} of {num_epochs} took "
                   f"{time.time() - start_time:.3f}s")
