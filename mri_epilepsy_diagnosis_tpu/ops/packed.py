@@ -234,3 +234,365 @@ def concat_channels_packed(a, b):
     b = b.reshape(n, d, h, w, 8, cb // 8)
     return jnp.concatenate([a, b], axis=-1).reshape(
         n, d, h, w, ca + cb)
+
+
+# ---------------------------------------------------------------------------
+# v2: alternating aligned<->shifted convs (zero repacks network-wide)
+#
+# Round-2 TPU profiling (experiments/roofline.py) showed `repack_shifted`
+# runs 13x off HBM bandwidth (sub-bit reshapes force thin-lane relayouts),
+# eating the packed layout's win.  Fix: a fine k=3/pad=1 conv ALSO equals a
+# k=2 packed conv from the ALIGNED packing to the SHIFTED packing (cells
+# {X-1, X} cover output fine voxels 2X-1+r).  Alternate conv1: aligned ->
+# shifted and conv2: shifted -> aligned and no repack is ever needed.
+#
+# Caveat: the shifted layout carries one pad voxel per axis (fine -1 and
+# 2S).  BatchNorm/activation treat them as data, so they must be re-zeroed
+# before the next (s->a) conv — `zero_shifted_pads` multiplies the six
+# boundary planes by channel masks (cheap: planes only).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_kernel_index_as():
+    """Scatter indices for the aligned->shifted kernel: per axis, output
+    shifted sub r tap t reads aligned cell X-1+u sub q with
+    (u-1, q) = divmod(r + t - 2, 2)."""
+    src, dst = [], []
+    for rd in range(2):
+        for rh in range(2):
+            for rw in range(2):
+                so = (rd * 2 + rh) * 2 + rw
+                for td in range(3):
+                    for th in range(3):
+                        for tw in range(3):
+                            od, qd = divmod(rd + td - 2, 2)
+                            oh, qh = divmod(rh + th - 2, 2)
+                            ow, qw = divmod(rw + tw - 2, 2)
+                            si = (qd * 2 + qh) * 2 + qw
+                            src.append((td, th, tw))
+                            dst.append((od + 1, oh + 1, ow + 1, si, so))
+    return np.asarray(src), np.asarray(dst)
+
+
+def pack_weights2_as(w):
+    """Fine (3,3,3,Ci,Co) kernel -> packed (2,2,2,8Ci,8Co) mapping ALIGNED
+    input cells to SHIFTED output cells (`conv3_packed_as`)."""
+    ci, co = w.shape[3], w.shape[4]
+    src, dst = _pack_kernel_index_as()
+    wp = jnp.zeros((2, 2, 2, 8, ci, 8, co), w.dtype)
+    wp = wp.at[dst[:, 0], dst[:, 1], dst[:, 2], dst[:, 3], :,
+               dst[:, 4], :].set(w[src[:, 0], src[:, 1], src[:, 2]])
+    return wp.reshape(2, 2, 2, 8 * ci, 8 * co)
+
+
+def conv3_packed_as(xp_aligned, wp, bias=None):
+    """Fine k=3/pad=1 conv as a k=2/pad=1 packed conv, aligned -> shifted.
+
+    xp_aligned: (N, S/2, ..., 8Ci); wp from `pack_weights2_as`.
+    Returns shifted packed output (N, S/2+1, ..., 8Co) whose pad voxels
+    (fine -1 and S per axis) hold the conv's pad-extrapolation — zero, as
+    long as the input's own pads are honoured by the conv's zero padding.
+    """
+    y = lax.conv_general_dilated(
+        xp_aligned, wp.astype(xp_aligned.dtype),
+        window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+        dimension_numbers=F.CONV3D_DIMS,
+        preferred_element_type=F._preferred_for(xp_aligned, jnp.float32),
+        precision=F._precision_for(xp_aligned.dtype),
+    ).astype(xp_aligned.dtype)
+    if bias is not None:
+        y = y + jnp.tile(bias, 8).astype(y.dtype)
+    return y
+
+
+@functools.lru_cache(maxsize=None)
+def _shifted_pad_masks(c8: int):
+    """Channel masks (numpy, (8C,)) keeping only NON-pad sub-positions for
+    the first/last cell along each axis of a shifted tensor: first cell's
+    sub-0 of axis a is fine voxel -1 (pad); last cell's sub-1 is fine S."""
+    masks = []
+    c = c8 // 8
+    for axis in range(3):
+        sub = (np.arange(c8) // c).astype(np.int64)
+        bitval = (sub >> (2 - axis)) & 1
+        lo = (bitval == 1).astype(np.float32)   # first cell: keep sub 1
+        hi = (bitval == 0).astype(np.float32)   # last cell: keep sub 0
+        masks.append((lo, hi))
+    return masks
+
+
+def zero_shifted_pads(xs):
+    """Zero the pad voxels of a shifted packed tensor (after BN/activation
+    made them nonzero).  Touches only the six boundary cell-planes."""
+    c8 = xs.shape[-1]
+    masks = _shifted_pad_masks(c8)
+    for axis, (lo, hi) in enumerate(masks):
+        lo = jnp.asarray(lo, xs.dtype)
+        hi = jnp.asarray(hi, xs.dtype)
+        sl_lo = [slice(None)] * 5
+        sl_lo[1 + axis] = slice(0, 1)
+        sl_hi = [slice(None)] * 5
+        sl_hi[1 + axis] = slice(xs.shape[1 + axis] - 1, xs.shape[1 + axis])
+        xs = xs.at[tuple(sl_lo)].multiply(lo)
+        xs = xs.at[tuple(sl_hi)].multiply(hi)
+    return xs
+
+
+@functools.lru_cache(maxsize=None)
+def _input_kernel_index():
+    """Scatter indices folding pack2_shifted into the first conv: a fine
+    k=3/pad=1 conv emitting the SHIFTED packing directly is a k=4/stride-2/
+    pad-2 fine conv; per axis tap kk = r + t."""
+    src, dst = [], []
+    for rd in range(2):
+        for rh in range(2):
+            for rw in range(2):
+                so = (rd * 2 + rh) * 2 + rw
+                for td in range(3):
+                    for th in range(3):
+                        for tw in range(3):
+                            src.append((td, th, tw))
+                            dst.append((rd + td, rh + th, rw + tw, so))
+    return np.asarray(src), np.asarray(dst)
+
+
+def pack_input_weights(w):
+    """Fine (3,3,3,Ci,Co) -> (4,4,4,Ci,8Co) for `conv_input_packed`."""
+    ci, co = w.shape[3], w.shape[4]
+    src, dst = _input_kernel_index()
+    wp = jnp.zeros((4, 4, 4, ci, 8, co), w.dtype)
+    wp = wp.at[dst[:, 0], dst[:, 1], dst[:, 2], :,
+               dst[:, 3], :].set(w[src[:, 0], src[:, 1], src[:, 2]])
+    return wp.reshape(4, 4, 4, ci, 8 * co)
+
+
+def conv_input_packed(x_fine, wp, bias=None):
+    """Fine (N,S,S,S,Ci) input -> first conv's SHIFTED packed output
+    (N,S/2+1,...,8Co), fusing pack2_shifted into the convolution
+    (k=4, stride 2, pad 2)."""
+    y = lax.conv_general_dilated(
+        x_fine, wp.astype(x_fine.dtype),
+        window_strides=(2, 2, 2), padding=[(2, 2)] * 3,
+        dimension_numbers=F.CONV3D_DIMS,
+        preferred_element_type=F._preferred_for(x_fine, jnp.float32),
+        precision=F._precision_for(x_fine.dtype),
+    ).astype(x_fine.dtype)
+    if bias is not None:
+        y = y + jnp.tile(bias, 8).astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# v2: fused decoder upsample+conv (transposed conv on packed cells)
+#
+# The decoder step `conv3(cat(skip, up(x)), w)` splits over w's input
+# channels into conv_s(skip) + conv_u(up(x)).  conv_u∘up composes into ONE
+# lhs_dilation=2 convolution on the packed cells (XLA-TPU runs these at
+# ~100 TFLOP/s, 2x the plain-conv rate — experiments/xla_probe2.py), which
+# deletes the explicit trilinear upsample (60 ms at the dec1 shape, 25x off
+# HBM roofline) and the channel concat.
+#
+# Boundary exactness: align_corners=False clamping is reproduced by edge-
+# padding the coarse cells (`edge_pad_cells`); the remaining error — conv
+# taps reading up[-1]/up[S] which the fine op zero-pads but the composed
+# translation-invariant kernel extrapolates — affects exactly one fine
+# output plane per face and is overwritten with directly-computed exact
+# values (`_upconv_fix_faces`).
+# ---------------------------------------------------------------------------
+
+_UP_TAPS = np.asarray([0.25, 0.75, 0.75, 0.25])  # fine 2x, half-pixel
+
+
+@functools.lru_cache(maxsize=None)
+def _upconv_axis_table():
+    """C1[k, q, r, t]: per-axis coefficient of fine tap t for dilated-kernel
+    index k (of 5), input sub q, output sub r: v[j], j = 5 - 2k + r + t - 2q
+    when 0 <= j <= 3."""
+    c1 = np.zeros((5, 2, 2, 3))
+    for k in range(5):
+        for q in range(2):
+            for r in range(2):
+                for t in range(3):
+                    j = 5 - 2 * k + r + t - 2 * q
+                    if 0 <= j <= 3:
+                        c1[k, q, r, t] = _UP_TAPS[j]
+    return c1
+
+
+def pack_upconv_weights(w_u):
+    """Fine conv kernel slice (3,3,3,Ci,Co) acting on the upsampled input
+    -> composed packed transposed-conv kernel (5,5,5,8Ci,8Co) for
+    `upconv_packed` (lhs_dilation=2 over edge-padded coarse cells)."""
+    ci, co = w_u.shape[3], w_u.shape[4]
+    c1 = jnp.asarray(_upconv_axis_table(), jnp.float32)
+    w = w_u.astype(jnp.float32)
+    k = jnp.einsum("aqrt,bsmu,cvnw,tuwio->abcqsviormn", c1, c1, c1, w)
+    # index order: (kd,kh,kw, qd,qh,qw, ci, co, rd,rh,rw)
+    k = k.transpose(0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 7)
+    return k.reshape(5, 5, 5, 8 * ci, 8 * co).astype(w_u.dtype)
+
+
+def _broadcast_sub_plane(plane, axis, sub):
+    """On a boundary cell-plane (one cell thick along `axis`), set BOTH sub
+    slots of that axis to the values of slot `sub` (fine edge replication
+    at cell granularity)."""
+    n = plane.shape[0]
+    c8 = plane.shape[-1]
+    c = c8 // 8
+    p = plane.reshape(*plane.shape[:4], 2, 2, 2, c)
+    src = jnp.take(p, jnp.array([sub]), axis=4 + axis)
+    p = jnp.concatenate([src, src], axis=4 + axis)
+    return p.reshape(*plane.shape[:4], c8)
+
+
+def edge_pad_cells(xp):
+    """Append one edge-replicating cell per side per axis: the padded cell's
+    both subs hold the boundary fine voxel (= clamped interpolation)."""
+    for axis in range(3):
+        sl0 = [slice(None)] * 5
+        sl0[1 + axis] = slice(0, 1)
+        sl1 = [slice(None)] * 5
+        sl1[1 + axis] = slice(xp.shape[1 + axis] - 1, xp.shape[1 + axis])
+        lo = _broadcast_sub_plane(xp[tuple(sl0)], axis, 0)
+        hi = _broadcast_sub_plane(xp[tuple(sl1)], axis, 1)
+        xp = jnp.concatenate([lo, xp, hi], axis=1 + axis)
+    return xp
+
+
+def upconv_packed(x_aligned, wk):
+    """Composed trilinear-2x-upsample + fine k=3/pad=1 conv, packed aligned
+    coarse cells (N,Sc,Sc,Sc,8Ci) -> SHIFTED packed output at doubled fine
+    resolution (N,2Sc+1,...,8Co).  wk from `pack_upconv_weights`.
+
+    Interior-exact; one fine plane per face needs `_upconv_fix_faces`."""
+    xe = edge_pad_cells(x_aligned)
+    return lax.conv_general_dilated(
+        xe, wk.astype(x_aligned.dtype),
+        window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+        lhs_dilation=(2, 2, 2),
+        dimension_numbers=F.CONV3D_DIMS,
+        preferred_element_type=F._preferred_for(x_aligned, jnp.float32),
+        precision=F._precision_for(x_aligned.dtype),
+    ).astype(x_aligned.dtype)
+
+
+def _coarse_fine_plane(xp, axis, fine_idx):
+    """Extract fine plane `fine_idx` (0, 1, -2 or -1) of `axis` from packed
+    cells, still packed over the other two axes: (N, A, B, 4C)."""
+    cells = xp.shape[1 + axis]
+    cell, sub = divmod(fine_idx % (2 * cells), 2)
+    sl = [slice(None)] * 5
+    sl[1 + axis] = slice(cell, cell + 1)
+    plane = xp[tuple(sl)]
+    c = xp.shape[-1] // 8
+    p = plane.reshape(*plane.shape[:4], 2, 2, 2, c)
+    p = jnp.take(p, jnp.array([sub]), axis=4 + axis).squeeze(4 + axis)
+    p = jnp.squeeze(p, 1 + axis)  # (N, A, B, 2, 2, c) subs of other axes
+    n, a, b = p.shape[:3]
+    return p.reshape(n, a, b, -1)
+
+
+def _unpack2_2d(p2):
+    """(N, A, B, 4C) packed 2-D plane -> fine (N, 2A, 2B, C)."""
+    n, a, b, c4 = p2.shape
+    c = c4 // 4
+    p = p2.reshape(n, a, b, 2, 2, c)
+    p = p.transpose(0, 1, 3, 2, 4, 5)
+    return p.reshape(n, 2 * a, 2 * b, c)
+
+
+def _pack2_2d_shifted(x2):
+    """Fine 2-D plane (N, Sf, Sf, C) -> SHIFTED packed (N, Sf/2+1, Sf/2+1,
+    4C) (sub-major over the two axes, zero pads at fine -1 and Sf)."""
+    x2 = jnp.pad(x2, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    n, a2, b2, c = x2.shape
+    p = x2.reshape(n, a2 // 2, 2, b2 // 2, 2, c)
+    p = p.transpose(0, 1, 3, 2, 4, 5)
+    return p.reshape(n, a2 // 2, b2 // 2, 4 * c)
+
+
+_DIMS2D = lax.conv_dimension_numbers(
+    (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
+
+
+def _conv2d_pad1(x2, w2):
+    return lax.conv_general_dilated(
+        x2, w2.astype(x2.dtype), (1, 1), [(1, 1)] * 2,
+        dimension_numbers=_DIMS2D,
+        preferred_element_type=F._preferred_for(x2, jnp.float32),
+        precision=F._precision_for(x2.dtype),
+    ).astype(x2.dtype)
+
+
+def _upconv_face(x_aligned, w_u, axis, side):
+    """Exact up-path output on the fine boundary plane of `axis`
+    (side 0: fine f=0; side 1: fine f=Sf-1), returned as a SHIFTED packed
+    2-D plane (N, Sf/2+1, Sf/2+1, 4Co) over the other two axes."""
+    if side == 0:
+        pl0 = _unpack2_2d(_coarse_fine_plane(x_aligned, axis, 0))
+        pl1 = _unpack2_2d(_coarse_fine_plane(x_aligned, axis, 1))
+        # up[g=0] = coarse fine plane 0 (clamped); up[g=1] = .75 p0 + .25 p1
+        up = [pl0, 0.75 * pl0 + 0.25 * pl1]
+        taps = [(1, 0), (2, 1)]  # (fine tap t along axis, up index)
+    else:
+        plm1 = _unpack2_2d(_coarse_fine_plane(x_aligned, axis, -1))
+        plm2 = _unpack2_2d(_coarse_fine_plane(x_aligned, axis, -2))
+        # up[Sf-2] = .25 p[-2] + .75 p[-1]; up[Sf-1] = p[-1] (clamped)
+        up = [0.25 * plm2 + 0.75 * plm1, plm1]
+        taps = [(0, 0), (1, 1)]
+    sf_half = [s * 2 for s in up[0].shape[1:3]]
+    out = None
+    for t, ui in taps:
+        sel = [slice(None)] * 3
+        sel[axis] = t
+        w2 = w_u[tuple(sel)]  # (3, 3, Ci, Co) over the other two axes
+        u2 = jnp.asarray(F.resize_linear(up[ui], tuple(sf_half)),
+                         x_aligned.dtype)
+        y = _conv2d_pad1(u2, w2)
+        out = y if out is None else out + y
+    return _pack2_2d_shifted(out)
+
+
+def _set_face(ys, axis, side, face, co):
+    """Write a shifted-packed 2-D face into ys's boundary cell-plane for
+    output sub r=1 (side 0) or r=0 (side 1) of `axis`."""
+    cells = ys.shape[1 + axis]
+    idx = 0 if side == 0 else cells - 1
+    r = 1 if side == 0 else 0
+    sl = [slice(None)] * 5
+    sl[1 + axis] = slice(idx, idx + 1)
+    plane = ys[tuple(sl)]
+    shp = plane.shape
+    p = plane.reshape(*shp[:4], 2, 2, 2, co)
+    n, a, b = face.shape[0], face.shape[1], face.shape[2]
+    f = face.reshape(n, a, b, 2, 2, co)
+    # reinsert the squeezed axis and scatter into sub slot r of `axis`
+    f = jnp.expand_dims(f, 1 + axis)                      # (..., 1, ...)
+    f = jnp.expand_dims(f, 4 + axis)                      # sub axis of a
+    target = [slice(None)] * 8
+    target[4 + axis] = slice(r, r + 1)
+    p = p.at[tuple(target)].set(f)
+    return ys.at[tuple(sl)].set(p.reshape(shp))
+
+
+def upconv_fix_faces(ys, x_aligned, w_u):
+    """Overwrite the six boundary fine planes of `upconv_packed`'s output
+    with exactly-computed values (fine-path zero-padding semantics)."""
+    co = ys.shape[-1] // 8
+    for axis in range(3):
+        for side in (0, 1):
+            face = _upconv_face(x_aligned, w_u, axis, side)
+            ys = _set_face(ys, axis, side, face, co)
+    return ys
+
+
+def maxpool2_packed_cascade(xp):
+    """maxpool2 via three lane-block max halvings + pack2 (no (…,8,C)
+    sub-axis reshape of the full tensor)."""
+    c8 = xp.shape[-1]
+    c = c8 // 8
+    x = jnp.maximum(xp[..., :4 * c], xp[..., 4 * c:])
+    x = jnp.maximum(x[..., :2 * c], x[..., 2 * c:])
+    x = jnp.maximum(x[..., :c], x[..., c:])
+    return pack2(x)

@@ -75,6 +75,82 @@ def test_conv1_packed_and_concat(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_conv3_packed_as_matches_fine(rng):
+    """aligned -> shifted conv: unshifting via pack2_shifted comparison."""
+    x = jnp.asarray(rng.normal(size=(2, 10, 10, 10, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 5)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(5,)), jnp.float32)
+    ref_fine = F.conv3d(x, w, b, padding=1)
+    ref_shifted = P.pack2_shifted(ref_fine)
+    out = P.conv3_packed_as(P.pack2(x), P.pack_weights2_as(w), b)
+    # pad voxels differ (conv extrapolation vs zero) — compare after zeroing
+    out = P.zero_shifted_pads(out)
+    # the bias also lands on ref's pad voxels: zero them there too
+    ref_shifted = P.zero_shifted_pads(ref_shifted)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_shifted),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_alternating_convs_no_repack(rng):
+    """conv1 (a->s) then conv2 (s->a) == two fine convs, zero repacks."""
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 2)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, 3, 2, 4)) * 0.2, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 3)) * 0.2, jnp.float32)
+    ref = F.conv3d(F.conv3d(x, w1, padding=1), w2, padding=1)
+
+    y = P.conv3_packed_as(P.pack2(x), P.pack_weights2_as(w1))
+    y = P.zero_shifted_pads(y)
+    y = P.conv3_packed(y, P.pack_weights2(w2))
+    np.testing.assert_allclose(np.asarray(P.unpack2(y)), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_zero_shifted_pads_only_touches_pads(rng):
+    x = jnp.asarray(rng.normal(size=(1, 6, 6, 6, 2)), jnp.float32)
+    xs = P.pack2_shifted(x)          # true pads are already zero
+    out = P.zero_shifted_pads(xs + 0.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(xs))
+    # and a fully-ones tensor keeps exactly the non-pad voxels
+    ones = jnp.ones_like(xs)
+    kept = P.zero_shifted_pads(ones)
+    fine = np.asarray(kept)
+    assert fine.sum() == np.prod(x.shape)  # one surviving slot per fine voxel
+
+
+def test_upconv_packed_matches_fine(rng):
+    """Composed upsample+conv (with face fixes) == resize_linear + conv3d."""
+    x = jnp.asarray(rng.normal(size=(2, 12, 12, 12, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 4)) * 0.2, jnp.float32)
+    up = F.resize_linear(x, (24, 24, 24), align_corners=False)
+    ref = P.pack2_shifted(F.conv3d(up, w, padding=1))
+
+    xp = P.pack2(x)
+    out = P.upconv_packed(xp, P.pack_upconv_weights(w))
+    out = P.upconv_fix_faces(out, xp, w)
+    out = P.zero_shifted_pads(out)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("ocfl,nb,size", [(4, 2, 8), (8, 3, 16)])
+def test_packed_unet_v2_matches_unet3d(rng, ocfl, nb, size):
+    from mri_epilepsy_diagnosis_tpu.models import UNet3D
+    from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
+        packed_unet_apply_v2)
+
+    model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=nb,
+                   out_channels_first_layer=ocfl)
+    v = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)))
+    x0 = jnp.asarray(rng.normal(size=(2, size, size, size, 1)), jnp.float32)
+    _, new_vars = model.apply(v, x0, train=True, mutable=["batch_stats"])
+    v = {"params": v["params"], "batch_stats": new_vars["batch_stats"]}
+
+    x = jnp.asarray(rng.normal(size=(2, size, size, size, 1)), jnp.float32)
+    ref = np.asarray(model.apply(v, x))
+    out = np.asarray(packed_unet_apply_v2(v, x, num_encoding_blocks=nb))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("ocfl,nb,size", [(4, 2, 8), (8, 3, 16)])
 def test_packed_unet_matches_unet3d(rng, ocfl, nb, size):
     """The packed forward must reproduce UNet3D.apply exactly (same
