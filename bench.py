@@ -57,10 +57,22 @@ REFERENCE_TRAIN_VOL_PER_S = 1.0 / 4.4
 REFERENCE_TRAIN_PATCHES_PER_S = 80.0 / 45.8
 
 
-def bench_infer(model, variables, size, batch, iters):
-    @jax.jit
-    def infer(variables, x):
-        return jnp.argmax(model.apply(variables, x), axis=-1).sum()
+def bench_infer(model, variables, size, batch, iters, packed=False):
+    """Forward+argmax throughput.  `packed=True` runs the packed-v2
+    execution layout (models/unet_packed.py) — same variables, mask-level
+    parity with `model.apply` is test- and checkpoint-verified."""
+    if packed:
+        from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
+            packed_unet_apply_v2)
+
+        @jax.jit
+        def infer(variables, x):
+            return jnp.argmax(packed_unet_apply_v2(variables, x),
+                              axis=-1).sum()
+    else:
+        @jax.jit
+        def infer(variables, x):
+            return jnp.argmax(model.apply(variables, x), axis=-1).sum()
 
     x = jnp.asarray(np.random.default_rng(0)
                     .normal(size=(batch, size, size, size, 1)), jnp.bfloat16)
@@ -102,9 +114,12 @@ def bench_ensemble(size, batch, iters):
     latent0, _ = enc.apply(enc_v, jnp.zeros((1, size, size, size, 1)))
     clf_v = clf.init(jax.random.key(2), latent0)
 
+    from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
+        packed_unet_apply_v2)
+
     @jax.jit
     def step(seg_v, enc_v, clf_v, x):
-        mask = jnp.argmax(seg.apply(seg_v, x), axis=-1)
+        mask = jnp.argmax(packed_unet_apply_v2(seg_v, x), axis=-1)
         latent, _ = enc.apply(enc_v, x)
         probs = jax.nn.softmax(clf.apply(clf_v, latent), axis=-1)
         return mask.sum() + probs.sum()
@@ -143,14 +158,23 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     size = 192 if on_tpu else 32            # CPU fallback is smoke only
-    batch = 4 if on_tpu else 1
+    batch = 8 if on_tpu else 1              # b8 doubles the thin-K conv rate
     iters = 10 if on_tpu else 2
 
     model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
                    out_channels_first_layer=8)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)))
 
-    infer_vol_per_s = bench_infer(model, variables, size, batch, iters)
+    # headline: packed-v2 execution layout; fine path as fallback + for
+    # the fine-layout comparison key
+    try:
+        with _deadline(900):
+            infer_vol_per_s = bench_infer(model, variables, size, batch,
+                                          iters, packed=on_tpu)
+    except Exception as e:
+        print(f"# packed-v2 infer bench failed: {type(e).__name__}",
+              flush=True)
+        infer_vol_per_s = bench_infer(model, variables, size, batch, iters)
 
     # seg+clf ensemble (the fader encoder geometry needs the 192^3 crop)
     ensemble_rate = float("nan")

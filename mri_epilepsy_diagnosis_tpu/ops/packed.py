@@ -40,7 +40,13 @@ from . import functional as F
 
 def pack2(x):
     """(N, D, H, W, C) -> (N, D/2, H/2, W/2, 8C), channel = (sd, sh, sw, c)
-    sub-position-major.  Spatial dims must be even."""
+    sub-position-major.  Spatial dims must be even.
+
+    Kept as a plain reshape/transpose on purpose: standalone, an identity
+    stride-2 conv is 6-10x faster (experiments/pack2_probe.py), but inside
+    the full fused forward XLA folds this transpose into the adjacent conv
+    layouts and the conv formulation is ~20% SLOWER end to end
+    (experiments/ab_pack2.py: 30.3 vol/s transpose vs 25.4 conv, b8 192^3)."""
     n, d, h, w, c = x.shape
     x = x.reshape(n, d // 2, 2, h // 2, 2, w // 2, 2, c)
     x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
@@ -48,7 +54,7 @@ def pack2(x):
 
 
 def unpack2(y):
-    """Inverse of pack2."""
+    """Inverse of pack2 (see pack2 for why this stays a transpose)."""
     n, d2, h2, w2, c8 = y.shape
     c = c8 // 8
     y = y.reshape(n, d2, h2, w2, 2, 2, 2, c)
@@ -436,14 +442,15 @@ def pack_upconv_weights(w_u):
 def _broadcast_sub_plane(plane, axis, sub):
     """On a boundary cell-plane (one cell thick along `axis`), set BOTH sub
     slots of that axis to the values of slot `sub` (fine edge replication
-    at cell granularity)."""
-    n = plane.shape[0]
+    at cell granularity).  Sub slots of axis a are contiguous channel runs
+    of length 8C >> (a+1), repeated 2^a times — pure lane slices."""
     c8 = plane.shape[-1]
-    c = c8 // 8
-    p = plane.reshape(*plane.shape[:4], 2, 2, 2, c)
-    src = jnp.take(p, jnp.array([sub]), axis=4 + axis)
-    p = jnp.concatenate([src, src], axis=4 + axis)
-    return p.reshape(*plane.shape[:4], c8)
+    block = c8 >> (axis + 1)
+    parts = []
+    for j in range(1 << axis):
+        src = plane[..., (2 * j + sub) * block:(2 * j + sub + 1) * block]
+        parts += [src, src]
+    return jnp.concatenate(parts, axis=-1)
 
 
 def edge_pad_cells(xp):
@@ -479,18 +486,18 @@ def upconv_packed(x_aligned, wk):
 
 def _coarse_fine_plane(xp, axis, fine_idx):
     """Extract fine plane `fine_idx` (0, 1, -2 or -1) of `axis` from packed
-    cells, still packed over the other two axes: (N, A, B, 4C)."""
+    cells, still packed over the other two axes: (N, A, B, 4C) in
+    (sub_b, sub_c, c) channel order — via contiguous channel-run slices."""
     cells = xp.shape[1 + axis]
     cell, sub = divmod(fine_idx % (2 * cells), 2)
     sl = [slice(None)] * 5
-    sl[1 + axis] = slice(cell, cell + 1)
-    plane = xp[tuple(sl)]
-    c = xp.shape[-1] // 8
-    p = plane.reshape(*plane.shape[:4], 2, 2, 2, c)
-    p = jnp.take(p, jnp.array([sub]), axis=4 + axis).squeeze(4 + axis)
-    p = jnp.squeeze(p, 1 + axis)  # (N, A, B, 2, 2, c) subs of other axes
-    n, a, b = p.shape[:3]
-    return p.reshape(n, a, b, -1)
+    sl[1 + axis] = cell
+    plane = xp[tuple(sl)]            # (N, A, B, 8C)
+    c8 = xp.shape[-1]
+    block = c8 >> (axis + 1)
+    parts = [plane[..., (2 * j + sub) * block:(2 * j + sub + 1) * block]
+             for j in range(1 << axis)]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
 def _unpack2_2d(p2):
@@ -556,24 +563,21 @@ def _upconv_face(x_aligned, w_u, axis, side):
 
 def _set_face(ys, axis, side, face, co):
     """Write a shifted-packed 2-D face into ys's boundary cell-plane for
-    output sub r=1 (side 0) or r=0 (side 1) of `axis`."""
+    output sub r=1 (side 0) or r=0 (side 1) of `axis`, as 2^axis
+    contiguous channel-block static update-slices (no sub reshapes)."""
     cells = ys.shape[1 + axis]
     idx = 0 if side == 0 else cells - 1
     r = 1 if side == 0 else 0
-    sl = [slice(None)] * 5
-    sl[1 + axis] = slice(idx, idx + 1)
-    plane = ys[tuple(sl)]
-    shp = plane.shape
-    p = plane.reshape(*shp[:4], 2, 2, 2, co)
-    n, a, b = face.shape[0], face.shape[1], face.shape[2]
-    f = face.reshape(n, a, b, 2, 2, co)
-    # reinsert the squeezed axis and scatter into sub slot r of `axis`
-    f = jnp.expand_dims(f, 1 + axis)                      # (..., 1, ...)
-    f = jnp.expand_dims(f, 4 + axis)                      # sub axis of a
-    target = [slice(None)] * 8
-    target[4 + axis] = slice(r, r + 1)
-    p = p.at[tuple(target)].set(f)
-    return ys.at[tuple(sl)].set(p.reshape(shp))
+    c8 = ys.shape[-1]
+    block = c8 >> (axis + 1)
+    f = jnp.expand_dims(face, 1 + axis).astype(ys.dtype)
+    for j in range(1 << axis):
+        tgt = (2 * j + r) * block
+        sl = [slice(None)] * 5
+        sl[1 + axis] = slice(idx, idx + 1)
+        sl[4] = slice(tgt, tgt + block)
+        ys = ys.at[tuple(sl)].set(f[..., j * block:(j + 1) * block])
+    return ys
 
 
 def upconv_fix_faces(ys, x_aligned, w_u):
