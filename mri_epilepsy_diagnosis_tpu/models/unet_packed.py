@@ -163,3 +163,165 @@ def packed_unet_apply_v2(variables, x, num_encoding_blocks: int = 3):
     head = params["classifier"]["conv_layer"]
     yp = P.conv1_packed(xp, head["weight"], head.get("bias"))
     return P.unpack2(yp)
+
+
+# ---------------------------------------------------------------------------
+# training in packed layout
+#
+# The fine 192^3 train graph crashes this platform's remote compiler even
+# with layer-wise remat (experiments/train192_probe.py).  The packed layout
+# runs the same network at 96^3 cells with 128-lane channels — a graph the
+# compiler handles — and is the fast execution layout anyway.  BatchNorm
+# batch statistics are computed exactly as the fine layout would: per-fine-
+# channel sums fold the 8 sub-position blocks, and shifted tensors mask
+# their pad voxels (fine -1 / S) out of the counts.
+# ---------------------------------------------------------------------------
+
+
+def _bn_train_packed(y, params, old_stats, *, pad_entries, valid,
+                     momentum=0.1, eps=1e-5):
+    """Normalize packed `y` with its own (fine-exact) batch statistics.
+
+    `y` must have pad voxels already zeroed (shifted layout) or none
+    (aligned).  `valid` = number of fine voxels per channel (N*S^3);
+    `pad_entries` = number of zeroed pad entries per fine channel.
+    Returns (normalized y, new {running_mean, running_var}) matching
+    `ops.layers.BatchNorm` train-mode numerics (biased var to normalize,
+    unbiased var into the running stats, torch momentum)."""
+    yf = y.astype(jnp.float32)
+    c8 = y.shape[-1]
+    c = c8 // 8
+    s1 = jnp.sum(yf, axis=(0, 1, 2, 3)).reshape(8, c).sum(0)
+    mean = s1 / valid
+    diff = yf - jnp.tile(mean, 8)
+    s2 = jnp.sum(diff * diff, axis=(0, 1, 2, 3)).reshape(8, c).sum(0)
+    # each zeroed pad entry contributed (0 - mean)^2
+    var = (s2 - pad_entries * mean * mean) / valid
+    out = F.batch_norm(y, jnp.tile(mean, 8), jnp.tile(var, 8),
+                       P.tile_channel_param(params["weight"]),
+                       P.tile_channel_param(params["bias"]), eps)
+    unbiased = var * (valid / max(valid - 1.0, 1.0))
+    m = momentum
+    new_stats = {
+        "running_mean": (1 - m) * old_stats["running_mean"] + m * mean,
+        "running_var": (1 - m) * old_stats["running_var"] + m * unbiased,
+    }
+    return out, new_stats
+
+
+def _block_train(y, params, stats, *, shifted, fine_size, batch):
+    """Shared BN+PReLU train-mode tail for a ConvBlock whose conv output is
+    `y` (shifted or aligned packed).  Returns (activated y, new stats)."""
+    new = {}
+    if shifted:
+        y = P.zero_shifted_pads(y)
+    if "norm_layer" in params:
+        valid = float(batch) * fine_size ** 3
+        pads = (float(batch) * 8.0 * (fine_size // 2 + 1) ** 3 - valid
+                if shifted else 0.0)
+        y, new["norm_layer"] = _bn_train_packed(
+            y, params["norm_layer"], stats["norm_layer"],
+            pad_entries=pads, valid=valid)
+    if "activation_layer" in params:
+        y = F.prelu(y, params["activation_layer"]["weight"])
+    if shifted:
+        y = P.zero_shifted_pads(y)
+    return y, new
+
+
+def packed_unet_train_apply(variables, x, num_encoding_blocks: int = 3):
+    """Train-mode packed-v2 forward: fine (N,S,S,S,1) -> (packed logits
+    (N,S/2,S/2,S/2,8*out_classes), new batch_stats pytree).  Matches
+    `UNet3D(...).apply(..., train=True, mutable=["batch_stats"])` numerics
+    (BN normalizes with the batch statistics and returns updated running
+    stats)."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    nb = num_encoding_blocks
+    n, s = x.shape[0], x.shape[1]
+    # built to mirror `stats`' tree structure exactly (blocks without a
+    # norm layer — enc0.conv1, the classifier — contribute no key)
+    new_stats = {"encoder": {}, "decoder": {}}
+
+    def _put(tree, key, ns1, ns2):
+        d = {}
+        if ns1:
+            d["conv1"] = ns1
+        if ns2:
+            d["conv2"] = ns2
+        tree[key] = d
+
+    def conv_as(xp, blk):
+        return P.conv3_packed_as(xp, P.pack_weights2_as(
+            blk["conv_layer"]["weight"]), blk["conv_layer"].get("bias"))
+
+    def conv_sa(xs, blk):
+        return P.conv3_packed(xs, P.pack_weights2(
+            blk["conv_layer"]["weight"]), blk["conv_layer"].get("bias"))
+
+    xp = P.pack2(x)
+    skips = []
+    for i in range(nb - 1):
+        key = f"encoding_blocks__{i}"
+        blk = params["encoder"][key]
+        bst = stats["encoder"].get(key, {})
+        y, ns1 = _block_train(conv_as(xp, blk["conv1"]), blk["conv1"],
+                              bst.get("conv1", {}), shifted=True,
+                              fine_size=s, batch=n)
+        xp, ns2 = _block_train(conv_sa(y, blk["conv2"]), blk["conv2"],
+                               bst.get("conv2", {}), shifted=False,
+                               fine_size=s, batch=n)
+        _put(new_stats["encoder"], key, ns1, ns2)
+        skips.append(xp)
+        xp = P.maxpool2_packed(xp)
+        s //= 2
+
+    blk = params["bottom_block"]
+    bst = stats["bottom_block"]
+    y, ns1 = _block_train(conv_as(xp, blk["conv1"]), blk["conv1"],
+                          bst.get("conv1", {}), shifted=True,
+                          fine_size=s, batch=n)
+    xp, ns2 = _block_train(conv_sa(y, blk["conv2"]), blk["conv2"],
+                           bst.get("conv2", {}), shifted=False,
+                           fine_size=s, batch=n)
+    _put(new_stats, "bottom_block", ns1, ns2)
+
+    for i in range(nb - 1):
+        key = f"decoding_blocks__{i}"
+        blk = params["decoder"][key]
+        bst = stats["decoder"].get(key, {})
+        s *= 2
+        skip = skips[-(i + 1)]
+        c_skip = skip.shape[-1] // 8
+        w1 = blk["conv1"]["conv_layer"]["weight"]
+        w_s, w_u = w1[:, :, :, :c_skip, :], w1[:, :, :, c_skip:, :]
+        y_s = P.conv3_packed_as(skip, P.pack_weights2_as(w_s),
+                                blk["conv1"]["conv_layer"].get("bias"))
+        y_u = P.upconv_packed(xp, P.pack_upconv_weights(w_u))
+        y_u = P.upconv_fix_faces(y_u, xp, w_u)
+        y, ns1 = _block_train(y_s + y_u, blk["conv1"], bst.get("conv1", {}),
+                              shifted=True, fine_size=s, batch=n)
+        xp, ns2 = _block_train(conv_sa(y, blk["conv2"]), blk["conv2"],
+                               bst.get("conv2", {}), shifted=False,
+                               fine_size=s, batch=n)
+        _put(new_stats["decoder"], key, ns1, ns2)
+
+    head = params["classifier"]["conv_layer"]
+    yp = P.conv1_packed(xp, head["weight"], head.get("bias"))
+    return yp, new_stats
+
+
+def packed_dice_loss(logits_packed, targets_fine):
+    """Soft dice loss from PACKED logits and fine binary targets — the
+    sub-position axis is folded into a spatial axis (dice is a voxel sum, so
+    layout is irrelevant as long as probs and targets align)."""
+    from ..metrics.dice import get_dice_loss
+
+    n, d2, h2, w2, c8 = logits_packed.shape
+    co = c8 // 8
+    probs = jax.nn.softmax(
+        logits_packed.reshape(n, d2, h2, w2, 8, co), axis=-1)
+    probs = probs.reshape(n, d2, h2, w2 * 8, co)
+    tp = P.pack2(targets_fine).reshape(n, d2, h2, w2 * 8, 1)
+    onehot = jnp.concatenate([1.0 - tp, tp], axis=-1)
+    return jnp.mean(get_dice_loss(probs, onehot, spatial_dimensions=(1, 2, 3)))

@@ -170,3 +170,79 @@ def test_packed_unet_matches_unet3d(rng, ocfl, nb, size):
     ref = np.asarray(model.apply(v, x))
     out = np.asarray(packed_unet_apply(v, x, num_encoding_blocks=nb))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# packed training
+# ---------------------------------------------------------------------------
+
+
+def _trained_variables(model, rng, size):
+    v = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)))
+    x0 = jnp.asarray(rng.normal(size=(2, size, size, size, 1)), jnp.float32)
+    _, new_vars = model.apply(v, x0, train=True, mutable=["batch_stats"])
+    return {"params": v["params"], "batch_stats": new_vars["batch_stats"]}
+
+
+def test_packed_train_apply_matches_unet3d(rng):
+    """Train-mode packed forward: logits AND updated BatchNorm running
+    statistics must match the fine `mutable=["batch_stats"]` apply."""
+    from mri_epilepsy_diagnosis_tpu.models import UNet3D
+    from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
+        packed_unet_train_apply)
+
+    size = 16
+    model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
+                   out_channels_first_layer=4)
+    v = _trained_variables(model, rng, size)
+    x = jnp.asarray(rng.normal(size=(2, size, size, size, 1)), jnp.float32)
+
+    ref, new_vars = model.apply(v, x, train=True, mutable=["batch_stats"])
+    logits_p, bs = packed_unet_train_apply(v, x)
+    out = np.asarray(P.unpack2(logits_p))
+    np.testing.assert_allclose(out, np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    ref_bs = new_vars["batch_stats"]
+    assert (jax.tree_util.tree_structure(bs)
+            == jax.tree_util.tree_structure(ref_bs))
+    for a, b in zip(jax.tree_util.tree_leaves(bs),
+                    jax.tree_util.tree_leaves(ref_bs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_packed_train_step_matches_fine(rng):
+    """One full optimizer step (loss, grads through packed convs/BN/dice)
+    must track the fine `seg_train_step`."""
+    from mri_epilepsy_diagnosis_tpu.models import UNet3D
+    from mri_epilepsy_diagnosis_tpu.train.optim import torch_adamw
+    from mri_epilepsy_diagnosis_tpu.train.seg import (packed_seg_train_step,
+                                                      seg_train_step)
+    from mri_epilepsy_diagnosis_tpu.train.state import create_train_state
+
+    F.set_precision_override("fast")  # CPU HIGHEST conv grads compile ~25x slower
+    try:
+        size = 16
+        model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
+                       out_channels_first_layer=4)
+        tx = torch_adamw(1e-3)
+        x = jnp.asarray(rng.normal(size=(2, size, size, size, 1)), jnp.float32)
+        y = jnp.asarray(rng.random((2, size, size, size, 1)) > 0.6, jnp.float32)
+
+        s_fine = create_train_state(model, tx, jnp.zeros((1, 8, 8, 8, 1)))
+        # real copies: both steps donate their state's buffers
+        s_pack = jax.tree_util.tree_map(jnp.copy, s_fine)
+        s_fine, loss_f = seg_train_step(s_fine, x, y)
+        s_pack, loss_p = packed_seg_train_step(s_pack, x, y)
+        np.testing.assert_allclose(float(loss_p), float(loss_f),
+                                   rtol=5e-4, atol=5e-4)
+        # post-Adam parameters stay close (grads match to contraction noise)
+        for a, b in zip(jax.tree_util.tree_leaves(s_pack.params),
+                        jax.tree_util.tree_leaves(s_fine.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0.05, atol=2e-3)
+        # a second packed step keeps training stable
+        s_pack, loss_p2 = packed_seg_train_step(s_pack, x, y)
+        assert np.isfinite(float(loss_p2))
+    finally:
+        F.set_precision_override(None)
