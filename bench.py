@@ -134,20 +134,25 @@ def bench_ensemble(size, batch, iters):
     return batch * iters / (time.perf_counter() - t0)
 
 
-def bench_train(state, size, iters):
-    from mri_epilepsy_diagnosis_tpu.train.seg import seg_train_step
+def bench_train(state, size, iters, batch=1, packed=False):
+    """f32 dice train-step rate.  `packed=True` uses the packed-layout step
+    (train/seg.py::packed_seg_train_step) — same numerics, and the only
+    layout whose 192^3 train graph this platform's compiler accepts."""
+    from mri_epilepsy_diagnosis_tpu.train.seg import (packed_seg_train_step,
+                                                      seg_train_step)
 
+    step = packed_seg_train_step if packed else seg_train_step
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(1, size, size, size, 1)), jnp.float32)
-    y = jnp.asarray((rng.random(size=(1, size, size, size, 1)) > 0.5),
+    x = jnp.asarray(rng.normal(size=(batch, size, size, size, 1)), jnp.float32)
+    y = jnp.asarray((rng.random(size=(batch, size, size, size, 1)) > 0.5),
                     jnp.float32)
-    state, loss = seg_train_step(state, x, y)
+    state, loss = step(state, x, y)
     float(loss)  # compile + sync
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, loss = seg_train_step(state, x, y)
+        state, loss = step(state, x, y)
     float(loss)
-    return iters / (time.perf_counter() - t0)
+    return batch * iters / (time.perf_counter() - t0)
 
 
 def main():
@@ -187,48 +192,40 @@ def main():
 
     F.set_precision_override("fast")
     train_rate, train_size = float("nan"), None
-    # 192^3 first tries layer-wise remat (smaller live set + autodiff graph
-    # than the plain backward, which crashed the remote compiler in round 1)
-    attempts = ([(192, 600, True), (192, 420, False), (128, 900, False)]
-                if on_tpu else [(32, 900, False)])
-    for ts, budget, remat in attempts:
+    # 192^3 whole-volume training runs in the packed layout at batch 1 (the
+    # reference's whole-volume batch size) — the fine graph crashes the
+    # platform's remote compiler at 192^3 with and without remat
+    # (experiments/train192_probe.py); packed b1 compiles and runs.
+    attempts = ([(192, 1, True, 600), (128, 4, True, 420), (128, 1, False, 900)]
+                if on_tpu else [(32, 1, False, 900)])
+    for ts, tb, packed, budget in attempts:
         try:
             with _deadline(budget):
-                train_model = (UNet3D(in_channels=1, out_classes=2,
-                                      num_encoding_blocks=3,
-                                      out_channels_first_layer=8, remat=True)
-                               if remat else model)
-                state = create_train_state(train_model, torch_adamw(1e-3),
+                state = create_train_state(model, torch_adamw(1e-3),
                                            jnp.zeros((1, 16, 16, 16, 1)))
-                train_rate = bench_train(state, ts, iters)
+                train_rate = bench_train(state, ts, iters, batch=tb,
+                                         packed=packed)
             train_size = ts
             break
         except Exception as e:  # remote-compiler rejection / deadline
-            print(f"# train bench at {ts}^3 (remat={remat}) failed: "
+            print(f"# train bench at {ts}^3 b{tb} (packed={packed}) failed: "
                   f"{type(e).__name__}", flush=True)
 
     # patch-training throughput (64^3 patches, batch 16 — the reference's
     # torchio Queue workload, pretraining_3d_unet.ipynb cell 25)
     patch_rate = float("nan")
-    try:
-        with _deadline(600):
-            from mri_epilepsy_diagnosis_tpu.train.seg import seg_train_step
-            state = create_train_state(model, torch_adamw(1e-3),
-                                       jnp.zeros((1, 16, 16, 16, 1)))
-            ps = 64 if on_tpu else 16
-            rng = np.random.default_rng(1)
-            xp = jnp.asarray(rng.normal(size=(16, ps, ps, ps, 1)), jnp.float32)
-            yp = jnp.asarray((rng.random((16, ps, ps, ps, 1)) > 0.5),
-                             jnp.float32)
-            state, loss = seg_train_step(state, xp, yp)
-            float(loss)
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                state, loss = seg_train_step(state, xp, yp)
-            float(loss)
-            patch_rate = 16 * iters / (time.perf_counter() - t0)
-    except Exception as e:
-        print(f"# patch train bench failed: {type(e).__name__}", flush=True)
+    ps = 64 if on_tpu else 16
+    for packed in ((True, False) if on_tpu else (False,)):
+        try:
+            with _deadline(600):
+                state = create_train_state(model, torch_adamw(1e-3),
+                                           jnp.zeros((1, 16, 16, 16, 1)))
+                patch_rate = bench_train(state, ps, iters, batch=16,
+                                         packed=packed)
+            break
+        except Exception as e:
+            print(f"# patch train bench (packed={packed}) failed: "
+                  f"{type(e).__name__}", flush=True)
     F.set_precision_override(None)
 
     def _num(v, nd=3):

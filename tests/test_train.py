@@ -218,3 +218,17 @@ def test_fader_training_steps():
     assert len(hist["train_loss"]) == 6      # 3 batches x 2 epochs
     assert hist["train_loss_disc"][-1] < hist["train_loss_disc"][0]
     assert len(hist["acc"]) == 2
+
+
+def test_packed_seg_training_loop():
+    """train_segmentation(packed=True): the packed execution-layout steps
+    drive the same epoch loop (train + eval) and reduce the loss."""
+    model = UNet3D(out_channels_first_layer=4, num_encoding_blocks=3)
+    state = create_train_state(model, torch_adamw(1e-3),
+                               jnp.zeros((1, 16, 16, 16, 1)))
+    loader = DataLoader(_SegData(n=4, size=16), batch_size=2)
+    from mri_epilepsy_diagnosis_tpu.train.seg import train_segmentation
+    state, tr, va = train_segmentation(
+        3, loader, loader, state, scheduler=None, weights_stem="pk",
+        save_epoch=99, verbose=False, weights_dir="/tmp/pk_w", packed=True)
+    assert tr[-1] < tr[0] + 1e-6 and np.isfinite(va[-1])
