@@ -13,6 +13,8 @@ Usage:
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -229,7 +231,8 @@ def _block_train(y, params, stats, *, shifted, fine_size, batch):
     return y, new
 
 
-def packed_unet_train_apply(variables, x, num_encoding_blocks: int = 3):
+def packed_unet_train_apply(variables, x, num_encoding_blocks: int = 3,
+                            remat: bool = False):
     """Train-mode packed-v2 forward: fine (N,S,S,S,1) -> (packed logits
     (N,S/2,S/2,S/2,8*out_classes), new batch_stats pytree).  Matches
     `UNet3D(...).apply(..., train=True, mutable=["batch_stats"])` numerics
@@ -259,39 +262,21 @@ def packed_unet_train_apply(variables, x, num_encoding_blocks: int = 3):
         return P.conv3_packed(xs, P.pack_weights2(
             blk["conv_layer"]["weight"]), blk["conv_layer"].get("bias"))
 
-    xp = P.pack2(x)
-    skips = []
-    for i in range(nb - 1):
-        key = f"encoding_blocks__{i}"
-        blk = params["encoder"][key]
-        bst = stats["encoder"].get(key, {})
+    # layer-wise rematerialization: recompute each two-conv block in the
+    # backward instead of keeping its activations live (shrinks the autodiff
+    # graph/live set for whole-volume batches)
+    wrap = jax.checkpoint if remat else (lambda f: f)
+
+    def _double_block(xp, blk, bst, s):
         y, ns1 = _block_train(conv_as(xp, blk["conv1"]), blk["conv1"],
                               bst.get("conv1", {}), shifted=True,
                               fine_size=s, batch=n)
-        xp, ns2 = _block_train(conv_sa(y, blk["conv2"]), blk["conv2"],
-                               bst.get("conv2", {}), shifted=False,
-                               fine_size=s, batch=n)
-        _put(new_stats["encoder"], key, ns1, ns2)
-        skips.append(xp)
-        xp = P.maxpool2_packed(xp)
-        s //= 2
+        out, ns2 = _block_train(conv_sa(y, blk["conv2"]), blk["conv2"],
+                                bst.get("conv2", {}), shifted=False,
+                                fine_size=s, batch=n)
+        return out, ns1, ns2
 
-    blk = params["bottom_block"]
-    bst = stats["bottom_block"]
-    y, ns1 = _block_train(conv_as(xp, blk["conv1"]), blk["conv1"],
-                          bst.get("conv1", {}), shifted=True,
-                          fine_size=s, batch=n)
-    xp, ns2 = _block_train(conv_sa(y, blk["conv2"]), blk["conv2"],
-                           bst.get("conv2", {}), shifted=False,
-                           fine_size=s, batch=n)
-    _put(new_stats, "bottom_block", ns1, ns2)
-
-    for i in range(nb - 1):
-        key = f"decoding_blocks__{i}"
-        blk = params["decoder"][key]
-        bst = stats["decoder"].get(key, {})
-        s *= 2
-        skip = skips[-(i + 1)]
+    def _dec_block(xp, skip, blk, bst, s):
         c_skip = skip.shape[-1] // 8
         w1 = blk["conv1"]["conv_layer"]["weight"]
         w_s, w_u = w1[:, :, :, :c_skip, :], w1[:, :, :, c_skip:, :]
@@ -301,9 +286,32 @@ def packed_unet_train_apply(variables, x, num_encoding_blocks: int = 3):
         y_u = P.upconv_fix_faces(y_u, xp, w_u)
         y, ns1 = _block_train(y_s + y_u, blk["conv1"], bst.get("conv1", {}),
                               shifted=True, fine_size=s, batch=n)
-        xp, ns2 = _block_train(conv_sa(y, blk["conv2"]), blk["conv2"],
-                               bst.get("conv2", {}), shifted=False,
-                               fine_size=s, batch=n)
+        out, ns2 = _block_train(conv_sa(y, blk["conv2"]), blk["conv2"],
+                                bst.get("conv2", {}), shifted=False,
+                                fine_size=s, batch=n)
+        return out, ns1, ns2
+
+    xp = P.pack2(x)
+    skips = []
+    for i in range(nb - 1):
+        key = f"encoding_blocks__{i}"
+        xp, ns1, ns2 = wrap(functools.partial(_double_block, s=s))(
+            xp, params["encoder"][key], stats["encoder"].get(key, {}))
+        _put(new_stats["encoder"], key, ns1, ns2)
+        skips.append(xp)
+        xp = P.maxpool2_packed(xp)
+        s //= 2
+
+    xp, ns1, ns2 = wrap(functools.partial(_double_block, s=s))(
+        xp, params["bottom_block"], stats["bottom_block"])
+    _put(new_stats, "bottom_block", ns1, ns2)
+
+    for i in range(nb - 1):
+        key = f"decoding_blocks__{i}"
+        s *= 2
+        xp, ns1, ns2 = wrap(functools.partial(_dec_block, s=s))(
+            xp, skips[-(i + 1)], params["decoder"][key],
+            stats["decoder"].get(key, {}))
         _put(new_stats["decoder"], key, ns1, ns2)
 
     head = params["classifier"]["conv_layer"]

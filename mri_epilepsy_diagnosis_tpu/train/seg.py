@@ -75,27 +75,36 @@ def seg_train_step(state: TrainState, inputs, raw_labels):
     return state, loss
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def packed_seg_train_step(state: TrainState, inputs, raw_labels):
-    """`seg_train_step` in the packed (space-to-depth) execution layout
-    (models/unet_packed.py) — same numerics (exact fine-equivalent BatchNorm
-    batch statistics, dice over the sub-position-folded voxel set), but the
-    graph runs at S/2 spatial cells with 128-lane channels: ~3x faster on
-    TPU and, critically, the only layout whose 192^3 whole-volume train
-    graph this platform's remote compiler accepts (fine + remat both crash
-    it — experiments/train192_probe.py).  UNet3D (ocfl-any, nb=3) only."""
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+def _packed_seg_train_step(state: TrainState, inputs, raw_labels,
+                           remat: bool):
     from ..models.unet_packed import packed_dice_loss, packed_unet_train_apply
 
     targets = binarize_segmentation(raw_labels)
 
     def loss_fn(params):
         logits_p, bs = packed_unet_train_apply(
-            {"params": params, "batch_stats": state.batch_stats}, inputs)
+            {"params": params, "batch_stats": state.batch_stats}, inputs,
+            remat=remat)
         return packed_dice_loss(logits_p, targets), bs
 
     (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     state = state.apply_gradients(grads, new_batch_stats=bs)
     return state, loss
+
+
+def packed_seg_train_step(state: TrainState, inputs, raw_labels,
+                          remat: bool = False):
+    """`seg_train_step` in the packed (space-to-depth) execution layout
+    (models/unet_packed.py) — same numerics (exact fine-equivalent BatchNorm
+    batch statistics, dice over the sub-position-folded voxel set), but the
+    graph runs at S/2 spatial cells with 128-lane channels: ~3x faster on
+    TPU and, critically, the only layout whose 192^3 whole-volume train
+    graph this platform's remote compiler accepts (fine + fine-remat both
+    crash it — experiments/train192_probe.py).  UNet3D (ocfl-any, nb=3)
+    only.  `remat=True` additionally rematerializes each two-conv block in
+    the backward (smaller live set for batch >= 2 whole volumes)."""
+    return _packed_seg_train_step(state, inputs, raw_labels, remat)
 
 
 @jax.jit
