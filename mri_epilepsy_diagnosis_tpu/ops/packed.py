@@ -455,16 +455,30 @@ def _broadcast_sub_plane(plane, axis, sub):
 
 def edge_pad_cells(xp):
     """Append one edge-replicating cell per side per axis: the padded cell's
-    both subs hold the boundary fine voxel (= clamped interpolation)."""
+    both subs hold the boundary fine voxel (= clamped interpolation).
+
+    Implemented as ONE fused zero-pad + six boundary-plane update-slices:
+    the naive per-axis `concat([lo, xp, hi])` copies the whole tensor three
+    times (~33 ms of the 266 ms b8 192^3 forward — experiments/v2_ablate.py);
+    in-place plane writes on the padded buffer avoid that.  Plane values are
+    computed on the ALREADY-PADDED neighbors (later-axis corners replicate
+    transitively, exactly as the sequential concats did)."""
+    pad = jnp.pad(xp, ((0, 0),) + ((1, 1),) * 3 + ((0, 0),))
     for axis in range(3):
+        n_ax = pad.shape[1 + axis]
         sl0 = [slice(None)] * 5
-        sl0[1 + axis] = slice(0, 1)
+        sl0[1 + axis] = slice(1, 2)
         sl1 = [slice(None)] * 5
-        sl1[1 + axis] = slice(xp.shape[1 + axis] - 1, xp.shape[1 + axis])
-        lo = _broadcast_sub_plane(xp[tuple(sl0)], axis, 0)
-        hi = _broadcast_sub_plane(xp[tuple(sl1)], axis, 1)
-        xp = jnp.concatenate([lo, xp, hi], axis=1 + axis)
-    return xp
+        sl1[1 + axis] = slice(n_ax - 2, n_ax - 1)
+        lo = _broadcast_sub_plane(pad[tuple(sl0)], axis, 0)
+        hi = _broadcast_sub_plane(pad[tuple(sl1)], axis, 1)
+        dst0 = [slice(None)] * 5
+        dst0[1 + axis] = slice(0, 1)
+        dst1 = [slice(None)] * 5
+        dst1[1 + axis] = slice(n_ax - 1, n_ax)
+        pad = pad.at[tuple(dst0)].set(lo)
+        pad = pad.at[tuple(dst1)].set(hi)
+    return pad
 
 
 def upconv_packed(x_aligned, wk):
