@@ -150,3 +150,42 @@ def test_graft_entry_dryrun():
     out = jax.eval_shape(fn, *args)   # compile-check shape only (CPU is slow)
     assert out.shape == (1, 64, 64, 64, 2)
     g.dryrun_multichip(8)
+
+
+def test_packed_train_step_on_mesh_matches_single_device(rng):
+    """The packed-layout train step under data+spatial sharding: GSPMD must
+    reduce the packed BN statistics and dice sums globally; the sharded step
+    must match the unsharded one."""
+    _require_devices(8)
+    from mri_epilepsy_diagnosis_tpu.models import UNet3D
+    from mri_epilepsy_diagnosis_tpu.train.optim import torch_adamw
+    from mri_epilepsy_diagnosis_tpu.train.seg import packed_seg_train_step
+    from mri_epilepsy_diagnosis_tpu.train.state import create_train_state
+
+    mesh = create_mesh(("data", "spatial"), (4, 2))
+    model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
+                   out_channels_first_layer=4)
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 16, 1)), jnp.float32)
+    y = jnp.asarray(rng.random((4, 16, 16, 16, 1)) > 0.6, jnp.float32)
+
+    def one_step(shard):
+        state = create_train_state(model, torch_adamw(1e-3),
+                                   jnp.zeros((1, 16, 16, 16, 1)))
+        xs, ys = x, y
+        if shard:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+            vs = NamedSharding(mesh, P("data", "spatial"))
+            xs = jax.device_put(x, vs)
+            ys = jax.device_put(y, vs)
+        state, loss = packed_seg_train_step(state, xs, ys)
+        return float(loss), state
+
+    loss_ref, st_ref = one_step(False)
+    loss_sh, st_sh = one_step(True)
+    # 'fast' (bf16-level) contractions + GSPMD reduction partitioning:
+    # tolerances bound contraction-order noise, not sharding bugs
+    np.testing.assert_allclose(loss_sh, loss_ref, rtol=1e-3, atol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(st_sh.params),
+                    jax.tree_util.tree_leaves(st_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.05, atol=5e-3)
