@@ -35,6 +35,14 @@ def test_train_segmentation_whole(tmp_path):
     assert (tmp_path / "weights" / "smoke_epoch_1.ckpt").exists()
 
 
+def test_train_segmentation_packed_resilient(tmp_path):
+    out = _run(tmp_path, "train_segmentation.py", "--synthetic", "--packed",
+               "--resilient", "--epochs", 1, "--img-size", 16, "--ocfl", 4,
+               "--batch-size", 4, "--weights-stem", "smokep")
+    assert "mean DSC" in out
+    assert (tmp_path / "weights" / "smokep_epoch_1.ckpt").exists()
+
+
 def test_train_segmentation_patches(tmp_path):
     out = _run(tmp_path, "train_segmentation.py", "--synthetic", "--patches",
                "--epochs", 1, "--img-size", 16, "--ocfl", 4,
