@@ -60,6 +60,28 @@ def test_sliding_window_matches_direct_unet(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(direct), atol=1e-5)
 
 
+def test_sliding_window_with_packed_apply(rng):
+    """The packed execution layout drops into sliding-window inference as
+    apply_fn; masks must match the fine path."""
+    from mri_epilepsy_diagnosis_tpu.models import UNet3D
+    from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
+        packed_unet_apply_v2)
+
+    model = UNet3D(out_channels_first_layer=4, num_encoding_blocks=3)
+    v = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)))
+    vol = jnp.asarray(rng.normal(size=(24, 24, 24, 1)).astype(np.float32))
+
+    fine = sliding_window_predict(
+        lambda v, p: model.apply(v, p), v, vol,
+        patch_size=16, overlap=8, batch_size=4)
+    packed = sliding_window_predict(
+        packed_unet_apply_v2, v, vol,
+        patch_size=16, overlap=8, batch_size=4)
+    fine_m = np.argmax(np.asarray(fine), -1)
+    packed_m = np.argmax(np.asarray(packed), -1)
+    assert (fine_m == packed_m).mean() > 0.999
+
+
 def test_grid_aggregator_host():
     agg = GridAggregator((8, 8, 8), num_classes=1)
     ones = np.ones((2, 4, 4, 4))
