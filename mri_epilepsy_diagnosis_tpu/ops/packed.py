@@ -549,30 +549,33 @@ def _conv2d_pad1(x2, w2):
 def _upconv_face(x_aligned, w_u, axis, side):
     """Exact up-path output on the fine boundary plane of `axis`
     (side 0: fine f=0; side 1: fine f=Sf-1), returned as a SHIFTED packed
-    2-D plane (N, Sf/2+1, Sf/2+1, 4Co) over the other two axes."""
+    2-D plane (N, Sf/2+1, Sf/2+1, 4Co) over the other two axes.
+
+    The two axis-taps are fused into ONE 2-D conv over channel-concatenated
+    upsampled planes (resize_linear is linear, so the two `up` planes are
+    combinations of two shared resized coarse planes)."""
     if side == 0:
         pl0 = _unpack2_2d(_coarse_fine_plane(x_aligned, axis, 0))
         pl1 = _unpack2_2d(_coarse_fine_plane(x_aligned, axis, 1))
-        # up[g=0] = coarse fine plane 0 (clamped); up[g=1] = .75 p0 + .25 p1
-        up = [pl0, 0.75 * pl0 + 0.25 * pl1]
-        taps = [(1, 0), (2, 1)]  # (fine tap t along axis, up index)
+        planes, taps = (pl0, pl1), (1, 2)
+        # up[g=0] = p0 (clamped); up[g=1] = .75 p0 + .25 p1
+        mix = ((1.0, 0.0), (0.75, 0.25))
     else:
-        plm1 = _unpack2_2d(_coarse_fine_plane(x_aligned, axis, -1))
         plm2 = _unpack2_2d(_coarse_fine_plane(x_aligned, axis, -2))
+        plm1 = _unpack2_2d(_coarse_fine_plane(x_aligned, axis, -1))
+        planes, taps = (plm2, plm1), (0, 1)
         # up[Sf-2] = .25 p[-2] + .75 p[-1]; up[Sf-1] = p[-1] (clamped)
-        up = [0.25 * plm2 + 0.75 * plm1, plm1]
-        taps = [(0, 0), (1, 1)]
-    sf_half = [s * 2 for s in up[0].shape[1:3]]
-    out = None
-    for t, ui in taps:
-        sel = [slice(None)] * 3
-        sel[axis] = t
-        w2 = w_u[tuple(sel)]  # (3, 3, Ci, Co) over the other two axes
-        u2 = jnp.asarray(F.resize_linear(up[ui], tuple(sf_half)),
-                         x_aligned.dtype)
-        y = _conv2d_pad1(u2, w2)
-        out = y if out is None else out + y
-    return _pack2_2d_shifted(out)
+        mix = ((0.25, 0.75), (0.0, 1.0))
+    sf_half = tuple(s * 2 for s in planes[0].shape[1:3])
+    r = [jnp.asarray(F.resize_linear(p, sf_half), x_aligned.dtype)
+         for p in planes]
+    ups = [a * r[0] + b * r[1] if b else a * r[0] for (a, b) in mix]
+    u_cat = jnp.concatenate(ups, axis=-1)
+    # after dropping the `axis` spatial dim each slice is (3, 3, Ci, Co)
+    w_cat = jnp.concatenate(
+        [w_u[tuple(t if i == axis else slice(None) for i in range(3))]
+         for t in taps], axis=2)
+    return _pack2_2d_shifted(_conv2d_pad1(u_cat, w_cat))
 
 
 def _set_face(ys, axis, side, face, co):
