@@ -32,6 +32,14 @@ def save_checkpoint(path: str, state: TrainState, **extra):
         f.write(flax.serialization.msgpack_serialize(payload))
 
 
+def load_checkpoint_extra(path: str) -> Dict[str, Any]:
+    """The **extra payload saved alongside a checkpoint (e.g. scheduler
+    state); {} if none."""
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    return payload.get("extra") or {}
+
+
 def load_checkpoint(path: str, state: TrainState) -> TrainState:
     """Restore into an existing (template) state; shapes must match."""
     with open(path, "rb") as f:

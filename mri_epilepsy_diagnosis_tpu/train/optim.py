@@ -97,6 +97,18 @@ class ReduceLROnPlateau:
     def lr(self) -> float:
         return max(self.base_lr * self.scale, self.min_lr)
 
+    def state_dict(self) -> dict:
+        """Mutable plateau state, for checkpointing (torch parity)."""
+        return {"scale": self.scale, "best": self.best,
+                "num_bad_epochs": self.num_bad_epochs,
+                "cooldown_counter": self.cooldown_counter}
+
+    def load_state_dict(self, d: dict):
+        self.scale = float(d["scale"])
+        self.best = float(d["best"])
+        self.num_bad_epochs = int(d["num_bad_epochs"])
+        self.cooldown_counter = int(d["cooldown_counter"])
+
     def _is_better(self, metric: float) -> bool:
         if self.mode == "min":
             if self.threshold_mode == "rel":
@@ -141,6 +153,12 @@ class StepLR:
     @property
     def lr(self) -> float:
         return self.base_lr * self.gamma ** (self.epoch // self.step_size)
+
+    def state_dict(self) -> dict:
+        return {"epoch": self.epoch}
+
+    def load_state_dict(self, d: dict):
+        self.epoch = int(d["epoch"])
 
     def step(self, opt_state: Any = None):
         self.epoch += 1

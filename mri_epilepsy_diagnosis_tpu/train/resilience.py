@@ -3,21 +3,22 @@
 The reference has no failure handling at all (SURVEY.md §5: no retry, no
 preemption handling; ad-hoc `try/except: pass`).  TPU pods get preempted
 and large runs hit transient numerics, so this subsystem adds the three
-standard production behaviors around the existing epoch driver
-(`train/seg.py::run_epoch`):
+standard production behaviors around the single epoch driver
+(`train/seg.py::_train_loop`):
 
 - **atomic rolling checkpoints** (`CheckpointManager`): write-then-rename so
   a preemption mid-save never corrupts the latest checkpoint; keep-last-k
-  pruning; latest-checkpoint discovery for restarts.
-- **auto-resume**: `train_segmentation_resilient` restarts from the newest
-  checkpoint in the directory — rerunning the same command after a
-  preemption continues the run (epoch + optimizer state + batch stats are
-  all in the checkpoint, unlike the reference's bare state_dict saves).
-- **failure detection + rollback**: a non-finite epoch loss (TPU numerics
-  blowup, bad batch) rolls parameters back to the last good checkpoint
-  instead of poisoning the run; repeated failures abort with a clear error.
-- **graceful preemption**: SIGTERM/SIGINT trigger an emergency checkpoint
-  at the next epoch boundary before exiting.
+  pruning; latest-checkpoint discovery for restarts; scheduler state rides
+  in the checkpoint's extra payload.
+- **auto-resume**: rerunning the same command after a preemption continues
+  the run — epoch, optimizer state, batch stats AND the LR scheduler's
+  plateau state are all restored (unlike the reference's bare state_dict
+  saves).
+- **failure detection + rollback**: a non-finite train OR validation epoch
+  loss (TPU numerics blowup, bad batch) rolls parameters back to the last
+  good checkpoint instead of poisoning the run; repeated failures abort.
+- **graceful preemption**: SIGTERM/SIGINT latch a stop flag; the loop
+  checkpoints and exits at the next epoch boundary.
 """
 from __future__ import annotations
 
@@ -27,11 +28,8 @@ import re
 import signal
 from typing import Optional
 
-import numpy as np
-
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import load_checkpoint, load_checkpoint_extra, save_checkpoint
 from .optim import ReduceLROnPlateau
-from .seg import Action, run_epoch
 from .state import TrainState
 
 
@@ -50,8 +48,9 @@ class CheckpointManager:
     def _epochs(self):
         pat = re.compile(rf"{re.escape(self.stem)}_epoch_(\d+)\.ckpt$")
         out = []
-        for p in glob.glob(os.path.join(self.directory,
-                                        f"{self.stem}_epoch_*.ckpt")):
+        for p in glob.glob(os.path.join(
+                glob.escape(self.directory),
+                f"{glob.escape(self.stem)}_epoch_*.ckpt")):
             m = pat.search(os.path.basename(p))
             if m:
                 out.append(int(m.group(1)))
@@ -73,6 +72,10 @@ class CheckpointManager:
     def latest_epoch(self) -> Optional[int]:
         eps = self._epochs()
         return eps[-1] if eps else None
+
+    def load_extra(self, epoch: int) -> dict:
+        """The extra payload (e.g. {'scheduler': ...}) of epoch's ckpt."""
+        return load_checkpoint_extra(self._path(epoch))
 
     def restore_latest(self, state: TrainState):
         """-> (state, epoch) from the newest checkpoint, or (state, 0)."""
@@ -112,56 +115,16 @@ def train_segmentation_resilient(
         state: TrainState, scheduler: Optional[ReduceLROnPlateau],
         manager: CheckpointManager, experiment=None, verbose: bool = True,
         sharding=None, packed: bool = False, max_failures: int = 3):
-    """`train_segmentation` with auto-resume, non-finite rollback and
-    preemption-safe checkpointing.  Returns (state, train losses, val
-    losses, completed_epoch); rerun the same call to continue after a kill.
+    """`train_segmentation` in elastic mode (see module docstring).
+
+    Returns (state, train losses, val losses, completed_epoch); rerun the
+    same call to continue after a kill.  Thin wrapper over the shared
+    `train/seg.py::_train_loop` — there is exactly one epoch driver.
     """
-    state, start_epoch = manager.restore_latest(state)
-    if verbose and start_epoch:
-        print(f"resumed from epoch {start_epoch}")
-    epoch_train_loss, epoch_val_loss = [], []
-    failures = 0
+    from .seg import _train_loop
 
-    with _PreemptionGuard() as guard:
-        if start_epoch == 0:  # the reference's initial VALIDATE epoch
-            state, _ = run_epoch(0, Action.VALIDATE, validation_loader,
-                                 state, scheduler, experiment,
-                                 sharding=sharding, packed=packed)
-            manager.save(state, 0)
-
-        epoch_idx = start_epoch
-        while epoch_idx < num_epochs:
-            epoch_idx += 1
-            state, tr = run_epoch(epoch_idx, Action.TRAIN, training_loader,
-                                  state, scheduler, experiment,
-                                  sharding=sharding, packed=packed)
-            if not np.all(np.isfinite(tr)):
-                failures += 1
-                if failures > max_failures:
-                    raise RuntimeError(
-                        f"{failures} non-finite epochs; aborting at epoch "
-                        f"{epoch_idx}")
-                if verbose:
-                    print(f"epoch {epoch_idx}: non-finite loss — rolling "
-                          f"back to last checkpoint ({failures}/"
-                          f"{max_failures})")
-                state, epoch_idx = manager.restore_latest(state)
-                continue
-            failures = 0
-            state, va = run_epoch(epoch_idx, Action.VALIDATE,
-                                  validation_loader, state, scheduler,
-                                  experiment, sharding=sharding,
-                                  packed=packed)
-            epoch_train_loss.append(float(np.mean(tr)))
-            epoch_val_loss.append(float(np.mean(va)))
-            if scheduler:
-                scheduler.step(epoch_val_loss[-1], state.opt_state)
-            if experiment:
-                experiment.log_epoch_end(epoch_idx)
-            manager.save(state, epoch_idx)
-            if guard.stop_requested:
-                if verbose:
-                    print(f"preemption requested — checkpointed at epoch "
-                          f"{epoch_idx}, exiting cleanly")
-                break
-    return state, epoch_train_loss, epoch_val_loss, epoch_idx
+    return _train_loop(
+        num_epochs, training_loader, validation_loader, state, scheduler,
+        weights_stem="", save_epoch=1, experiment=experiment, verbose=verbose,
+        weights_dir="", sharding=sharding, dashboard=None, packed=packed,
+        manager=manager, max_failures=max_failures)

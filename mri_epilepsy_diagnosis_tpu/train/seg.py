@@ -166,43 +166,115 @@ def train_segmentation(num_epochs: int, training_loader, validation_loader,
                        weights_stem: str, save_epoch: int = 1,
                        experiment=None, verbose: bool = True,
                        weights_dir: str = "weights", sharding=None,
-                       dashboard=None, packed: bool = False):
+                       dashboard=None, packed: bool = False, manager=None,
+                       max_failures: int = 3):
     """`sharding` (optional NamedSharding) places every prefetched batch on a
     device mesh — data/spatial-parallel training over `core.mesh.create_mesh`
     with the same loop.  `packed=True` routes train steps through the packed
-    execution layout (see `run_epoch`)."""
+    execution layout (see `run_epoch`).  `manager` (a
+    `train.resilience.CheckpointManager`) switches on elastic mode:
+    auto-resume from the newest checkpoint (incl. scheduler state), atomic
+    rolling per-epoch checkpoints (instead of the `save_epoch` cadence),
+    rollback on a non-finite train/validation epoch, and graceful
+    SIGTERM/SIGINT checkpointed shutdown."""
+    state, tr, va, _ = _train_loop(
+        num_epochs, training_loader, validation_loader, state, scheduler,
+        weights_stem, save_epoch, experiment, verbose, weights_dir, sharding,
+        dashboard, packed, manager, max_failures)
+    return state, tr, va
+
+
+def _train_loop(num_epochs, training_loader, validation_loader, state,
+                scheduler, weights_stem, save_epoch, experiment, verbose,
+                weights_dir, sharding, dashboard, packed, manager,
+                max_failures):
+    """The single epoch driver behind `train_segmentation` and
+    `train_segmentation_resilient`; returns (state, train_losses,
+    val_losses, last_completed_epoch)."""
+    import contextlib
+
+    from .resilience import _PreemptionGuard  # lazy: resilience imports seg
+
     start_time = time.time()
     epoch_train_loss, epoch_val_loss = [], []
+    start_epoch, failures = 0, 0
 
-    state, _ = run_epoch(0, Action.VALIDATE, validation_loader, state,
-                         scheduler, experiment, sharding=sharding,
-                         packed=packed)
+    def _restore_with_scheduler():
+        st, ep = manager.restore_latest(state)
+        if scheduler is not None and ep:
+            sd = manager.load_extra(ep).get("scheduler")
+            if sd and hasattr(scheduler, "load_state_dict"):
+                scheduler.load_state_dict(sd)
+        return st, ep
 
-    for epoch_idx in range(1, num_epochs + 1):
-        state, tr = run_epoch(epoch_idx, Action.TRAIN, training_loader,
-                              state, scheduler, experiment, sharding=sharding,
-                              packed=packed)
-        state, va = run_epoch(epoch_idx, Action.VALIDATE, validation_loader,
-                              state, scheduler, experiment, sharding=sharding,
-                              packed=packed)
-        epoch_train_loss.append(float(np.mean(tr)))
-        epoch_val_loss.append(float(np.mean(va)))
-        if dashboard is not None:  # live per-epoch redraw
-            dashboard.update(train_loss=epoch_train_loss[-1],
-                             val_loss=epoch_val_loss[-1])
-        if verbose:
-            print(f"Epoch {epoch_idx} of {num_epochs} took "
-                  f"{time.time() - start_time:.3f}s")
-            print(f"  training loss (in-iteration): \t{tr[-1]:.6f}")
-            print(f"  validation loss: \t\t\t{va[-1]:.6f}")
-        if scheduler:
-            scheduler.step(float(np.mean(va)), state.opt_state)
-        if experiment:
-            experiment.log_epoch_end(epoch_idx)
-        if epoch_idx % save_epoch == 0:
-            save_checkpoint(f"{weights_dir}/{weights_stem}_epoch_{epoch_idx}.ckpt",
-                            state)
-    return state, epoch_train_loss, epoch_val_loss
+    def _save(st, epoch):
+        if manager is not None:
+            extra = {}
+            if scheduler is not None and hasattr(scheduler, "state_dict"):
+                extra["scheduler"] = scheduler.state_dict()
+            manager.save(st, epoch, **extra)
+        elif epoch > 0 and epoch % save_epoch == 0:
+            save_checkpoint(
+                f"{weights_dir}/{weights_stem}_epoch_{epoch}.ckpt", st)
+
+    if manager is not None:
+        state, start_epoch = _restore_with_scheduler()
+        if verbose and start_epoch:
+            print(f"resumed from epoch {start_epoch}")
+
+    guard_cm = _PreemptionGuard() if manager is not None \
+        else contextlib.nullcontext()
+    with guard_cm as guard:
+        stop = (lambda: guard.stop_requested) if manager is not None \
+            else (lambda: False)
+        if start_epoch == 0:  # the reference's initial VALIDATE epoch
+            state, _ = run_epoch(0, Action.VALIDATE, validation_loader, state,
+                                 scheduler, experiment, sharding=sharding,
+                                 packed=packed)
+            _save(state, 0)
+
+        epoch_idx = start_epoch
+        while epoch_idx < num_epochs and not stop():
+            epoch_idx += 1
+            state, tr = run_epoch(epoch_idx, Action.TRAIN, training_loader,
+                                  state, scheduler, experiment,
+                                  sharding=sharding, packed=packed)
+            state, va = run_epoch(epoch_idx, Action.VALIDATE,
+                                  validation_loader, state, scheduler,
+                                  experiment, sharding=sharding,
+                                  packed=packed)
+            if manager is not None and not (np.all(np.isfinite(tr))
+                                            and np.all(np.isfinite(va))):
+                failures += 1
+                if failures > max_failures:
+                    raise RuntimeError(f"{failures} non-finite epochs; "
+                                       f"aborting at epoch {epoch_idx}")
+                if verbose:
+                    print(f"epoch {epoch_idx}: non-finite loss — rolling "
+                          f"back to last checkpoint "
+                          f"({failures}/{max_failures})")
+                state, epoch_idx = _restore_with_scheduler()
+                continue
+            failures = 0
+            epoch_train_loss.append(float(np.mean(tr)))
+            epoch_val_loss.append(float(np.mean(va)))
+            if dashboard is not None:  # live per-epoch redraw
+                dashboard.update(train_loss=epoch_train_loss[-1],
+                                 val_loss=epoch_val_loss[-1])
+            if verbose:
+                print(f"Epoch {epoch_idx} of {num_epochs} took "
+                      f"{time.time() - start_time:.3f}s")
+                print(f"  training loss (in-iteration): \t{tr[-1]:.6f}")
+                print(f"  validation loss: \t\t\t{va[-1]:.6f}")
+            if scheduler:
+                scheduler.step(epoch_val_loss[-1], state.opt_state)
+            if experiment:
+                experiment.log_epoch_end(epoch_idx)
+            _save(state, epoch_idx)
+        if manager is not None and stop() and verbose:
+            print(f"preemption requested — checkpointed at epoch "
+                  f"{epoch_idx}, exiting cleanly")
+    return state, epoch_train_loss, epoch_val_loss, epoch_idx
 
 
 def sweep_checkpoints(weights_dir: str, state: TrainState, loader,

@@ -109,3 +109,31 @@ def test_resilient_rolls_back_on_nonfinite(tmp_path):
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
+
+
+def test_resilient_restores_scheduler_state(tmp_path):
+    """Auto-resume must restore the plateau scheduler's decayed LR state
+    (a fresh scheduler object would silently reset LR to base)."""
+    from mri_epilepsy_diagnosis_tpu.train import ReduceLROnPlateau
+
+    loader = DataLoader(_SegData(), batch_size=2)
+    mgr = CheckpointManager(str(tmp_path), stem="s")
+    sched = ReduceLROnPlateau(1e-3, factor=0.5, patience=0)
+    sched.step(1.0)
+    sched.step(2.0)  # worse with patience 0 -> decay
+    assert sched.scale < 1.0
+    state, *_ = train_segmentation_resilient(
+        1, loader, loader, _make_state(), sched, mgr, verbose=False)
+    saved_scale = sched.scale
+    fresh = ReduceLROnPlateau(1e-3, factor=0.5, patience=0)
+    train_segmentation_resilient(
+        2, loader, loader, _make_state(), fresh, mgr, verbose=False)
+    assert fresh.scale <= saved_scale < 1.0
+
+
+def test_checkpoint_manager_glob_metachar_stem(tmp_path):
+    state = _make_state()
+    mgr = CheckpointManager(str(tmp_path), stem="run[1]")
+    mgr.save(state, 1)
+    mgr.save(state, 2)
+    assert mgr.latest_epoch() == 2
