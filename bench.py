@@ -117,6 +117,9 @@ def bench_ensemble(size, batch, iters):
     from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
         packed_unet_apply_v2)
 
+    # NB: the module (separable-conv) encoder beats the fused dense-kernel
+    # path on TPU (56 vs 105 ms standalone at b8 — models/fader.py
+    # `encoder_apply_fused` docstring), so the ensemble keeps enc.apply.
     @jax.jit
     def step(seg_v, enc_v, clf_v, x):
         mask = jnp.argmax(packed_unet_apply_v2(seg_v, x), axis=-1)

@@ -307,3 +307,107 @@ class Classificator(nn.Module):
             batch_norm=self.batch_norm, act=self.act, p_drop=self.p_drop,
             train=train)
         return (logits, hidden) if return_hidden else logits
+
+
+# ---------------------------------------------------------------------------
+# fused separable-conv execution path (eval)
+#
+# Each DownBlock runs three thin-channel separable convs ((k,1,1)/(1,k,1)/
+# (1,1,k), C = 8-32), whose intermediates pad the lane dim up to 128 — on
+# TPU the first block's intermediate alone costs ~900 MB of padded HBM
+# traffic per volume.  The three convs compose EXACTLY into one dense
+# k^3 conv (the x-dependent parts share zero padding; the biases propagate
+# position-dependently near boundaries and are added as a separable (h, w)
+# bias field).  2.1x FLOPs for ~4x less traffic on the flagship 192^3
+# ensemble input — and the k^3·Ci contraction is MXU-friendly.
+# ---------------------------------------------------------------------------
+
+
+def _axis_valid_mask(size_in: int, size_out: int, k: int, s: int, p: int):
+    """(size_out, k) 0/1 mask: tap b of output position h reads a valid
+    input index (s*h + b - p in range)."""
+    import numpy as _np
+
+    h = _np.arange(size_out)[:, None]
+    b = _np.arange(k)[None, :]
+    idx = s * h + b - p
+    return ((idx >= 0) & (idx < size_in)).astype(_np.float32)
+
+
+def fused_downblock_apply(params, stats, x, *, conv_k=3, conv_s=1,
+                          conv_pad=1, maxpool_k=2, maxpool_s=2,
+                          batch_norm=True, act="relu"):
+    """Eval-mode DownBlock with the three separable convs fused into one
+    dense conv + separable boundary-exact bias field.  Same variables, same
+    numerics as `DownBlock.__call__(train=False)`."""
+    wx = params["block__1_convx"]["weight"]  # (k,1,1,ci,m)
+    wy = params["block__2_convy"]["weight"]  # (1,k,1,m,m)
+    wz = params["block__3_convz"]["weight"]  # (1,1,k,m,co)
+    bx = params["block__1_convx"].get("bias")
+    by = params["block__2_convy"].get("bias")
+    bz = params["block__3_convz"].get("bias")
+    k, s, p = conv_k, conv_s, conv_pad
+
+    wxa = wx[:, 0, 0]                       # (k, ci, m)
+    wyb = wy[0, :, 0]                       # (k, m, m2)
+    wzc = wz[0, 0, :]                       # (k, m2, co)
+    w = jnp.einsum("aim,bmn,cno->abcio", wxa.astype(jnp.float32),
+                   wyb.astype(jnp.float32), wzc.astype(jnp.float32),
+                   precision=F._precision_for(x.dtype)).astype(x.dtype)
+    y = F.conv3d(x, w, None, stride=s, padding=p)
+
+    # position-dependent bias: bx flows through convy's h-taps and convz's
+    # w-taps (zero padding truncates the constant field at boundaries),
+    # by through convz's w-taps, bz is uniform
+    h_in, w_in = x.shape[2], x.shape[3]
+    h_out, w_out = y.shape[2], y.shape[3]
+    f32 = jnp.float32
+    bias_h = jnp.zeros((h_out, wyb.shape[2]), f32)
+    if by is not None:
+        bias_h = bias_h + by.astype(f32)
+    if bx is not None:
+        my = jnp.asarray(_axis_valid_mask(h_in, h_out, k, s, p))
+        sy = jnp.einsum("hb,bmn->hmn", my, wyb.astype(f32))
+        bias_h = bias_h + jnp.einsum("m,hmn->hn", bx.astype(f32), sy)
+    mz = jnp.asarray(_axis_valid_mask(w_in, w_out, k, s, p))
+    sz = jnp.einsum("wb,bno->wno", mz, wzc.astype(f32))
+    bias_hw = jnp.einsum("hn,wno->hwo", bias_h, sz)
+    if bz is not None:
+        bias_hw = bias_hw + bz.astype(f32)
+    y = y + bias_hw[None, None].astype(y.dtype)
+
+    shape_before_pool = tuple(y.shape[1:4])
+    y = F.maxpool3d(y, maxpool_k, maxpool_s)
+    if batch_norm:
+        bn = params["block__5_batch_norm"]
+        st = stats["block__5_batch_norm"]
+        y = F.batch_norm(y, st["running_mean"], st["running_var"],
+                         bn["weight"], bn["bias"])
+    return _act(act)(y), shape_before_pool
+
+
+def encoder_apply_fused(variables, x, ae_kwargs):
+    """Eval-mode `Encoder.apply` (latent, size_list) with every DownBlock's
+    separable convs fused (see `fused_downblock_apply`).  Parity with
+    `make_encoder(ae_kwargs).apply(variables, x)` is test-verified."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    offset = 1 if ae_kwargs.get("reduce_size") else 0
+    if offset:
+        w = params["encode__0"]["weight"]
+        b = params["encode__0"].get("bias")
+        x = F.conv3d(x, w.astype(x.dtype), b, stride=4, padding=0)
+    dbk = dict(ae_kwargs["down_block_kwargs"])
+    size_list = []
+    for i in range(ae_kwargs["deapth"]):
+        key = f"encode__{i + offset}"
+        x, size = fused_downblock_apply(
+            params[key], stats.get(key, {}), x,
+            conv_k=dbk.get("conv_k", 3), conv_s=dbk.get("conv_s", 1),
+            conv_pad=dbk.get("conv_pad", 1),
+            maxpool_k=dbk.get("maxpool_k", 2),
+            maxpool_s=dbk.get("maxpool_s", 2),
+            batch_norm=dbk.get("batch_norm", True),
+            act=dbk.get("act", "relu"))
+        size_list.append(size)
+    return x, size_list

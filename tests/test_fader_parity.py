@@ -115,3 +115,35 @@ def test_fader_checkpoint_parity(rng):
 
     # class decision parity
     assert (clf_j.argmax(-1) == clf_t.argmax(-1)).all()
+
+
+def test_encoder_apply_fused_matches_module():
+    """Fused separable-conv encoder path (dense composed kernels + boundary
+    bias field) == Encoder.apply, for both the flagship k6/s2 config and the
+    default k3/s1."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mri_epilepsy_diagnosis_tpu.models.fader import (encoder_apply_fused,
+                                                         make_encoder)
+
+    rng = np.random.default_rng(0)
+    for dbk, size in ((dict(conv_k=6, conv_pad=2, conv_s=2, maxpool_k=2,
+                            maxpool_s=2, batch_norm=True, act="l_relu"), 64),
+                      (dict(conv_k=3, conv_pad=1, conv_s=1, maxpool_k=2,
+                            maxpool_s=2, batch_norm=True, act="relu"), 16)):
+        ae_kwargs = dict(c_in=1, is_skip=False, deapth=3, c_base=8,
+                         inc_size=2, reduce_size=False,
+                         down_block_kwargs=dbk)
+        enc = make_encoder(ae_kwargs)
+        x0 = jnp.asarray(rng.normal(size=(2, size, size, size, 1)),
+                         jnp.float32)
+        v = enc.init(jax.random.key(1), x0)
+        _, nv = enc.apply(v, x0, train=True, mutable=["batch_stats"])
+        v = {"params": v["params"], "batch_stats": nv["batch_stats"]}
+        ref, sizes_ref = enc.apply(v, x0)
+        out, sizes = encoder_apply_fused(v, x0, ae_kwargs)
+        assert sizes == sizes_ref
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
