@@ -36,6 +36,10 @@ def main():
     p.add_argument("--coord-min", type=int, nargs=3, default=(30, 30, 30))
     p.add_argument("--sliding-window", action="store_true",
                    help="64^3 patches with overlap 4 instead of whole volume")
+    p.add_argument("--fine", action="store_true",
+                   help="use the fine channels-last forward instead of the "
+                        "default packed execution layout (3x slower on TPU; "
+                        "identical masks)")
     p.add_argument("--out", default="pred_mask.nii.gz")
     args = p.parse_args()
 
@@ -48,12 +52,17 @@ def main():
     vol = reshape_image(np.asarray(img_nii.data), args.coord_min, shape)
     x = znormalization(jnp.asarray(vol[0], jnp.float32))[..., None]
 
+    from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
+        packed_unet_apply_v2)
+
+    apply_fn = ((lambda v, b: model.apply(v, b)) if args.fine
+                else packed_unet_apply_v2)
     if args.sliding_window:
-        logits = sliding_window_predict(
-            lambda v, b: model.apply(v, b), variables, x,
-            patch_size=64, overlap=4, batch_size=16)
+        logits = sliding_window_predict(apply_fn, variables, x,
+                                        patch_size=64, overlap=4,
+                                        batch_size=16)
     else:
-        logits = jax.jit(model.apply)(variables, x[None])[0]
+        logits = jax.jit(apply_fn)(variables, x[None])[0]
     pred = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
     save_nifti(args.out, pred, img_nii.affine)
     print(f"saved {args.out}: {int(pred.sum())} foreground voxels")
