@@ -158,6 +158,122 @@ def bench_train(state, size, iters, batch=1, packed=False):
     return batch * iters / (time.perf_counter() - t0)
 
 
+def bench_aux_workloads(on_tpu, iters):
+    """BASELINE configs 1-3: detection patch-CNN train steps, AE 128^3
+    pretraining, fader enc+clf+disc alternation at the 192^3 crop.  Each is
+    deadline-bounded and falls back to NaN."""
+    import jax.numpy as jnp
+
+    from mri_epilepsy_diagnosis_tpu.models import (AE, Classificator,
+                                                   Discriminator, PatchModel)
+    from mri_epilepsy_diagnosis_tpu.models.fader import make_encoder
+    from mri_epilepsy_diagnosis_tpu.train import FaderState, create_train_state
+    from mri_epilepsy_diagnosis_tpu.train.classification import _class_step
+    from mri_epilepsy_diagnosis_tpu.train.fader import disc_step, enc_clf_step
+    from mri_epilepsy_diagnosis_tpu.train.optim import torch_adam
+
+    rng = np.random.default_rng(2)
+    key = jax.random.key(0)
+    out = {"patch_clf": float("nan"), "ae": float("nan"),
+           "fader": float("nan")}
+
+    try:
+        with _deadline(420):
+            st = create_train_state(PatchModel(), torch_adam(1e-3),
+                                    jnp.zeros((1, 16, 32, 2)))
+            x = jnp.asarray(rng.normal(size=(128, 16, 32, 2)), jnp.float32)
+            y = jnp.asarray(rng.integers(0, 2, 128), jnp.int32)
+            st, loss, _ = _class_step(st, x, y, key, True)
+            float(loss)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                st, loss, _ = _class_step(st, x, y, key, True)
+            float(loss)
+            out["patch_clf"] = 128 * iters / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"# patch-clf bench failed: {type(e).__name__}", flush=True)
+
+    dbk = dict(conv_k=6, conv_pad=2, conv_s=2, maxpool_k=2, maxpool_s=2,
+               batch_norm=True, act="l_relu")
+    try:
+        with _deadline(600):
+            ae = AE(c_in=1, is_skip=False, deapth=3, c_base=8, inc_size=2,
+                    reduce_size=False, down_block_kwargs=dbk,
+                    up_block_kwargs=dict(up="upsample", scale=4,
+                                         scale_mode="nearest", conv_k=5,
+                                         conv_pad=2, conv_s=1,
+                                         batch_norm=True, act="l_relu"))
+            size, b = (128, 2) if on_tpu else (64, 1)
+            st = create_train_state(ae, torch_adam(7e-4, weight_decay=1e-4),
+                                    jnp.zeros((1, size, size, size, 1)), key)
+            x = jnp.asarray(rng.normal(size=(b, size, size, size, 1)),
+                            jnp.float32)
+
+            def _step(st, a):
+                def loss_fn(p):
+                    o, nv = ae.apply(
+                        {"params": p, "batch_stats": st.batch_stats}, a,
+                        train=True, rngs={"dropout": key, "sample": key},
+                        mutable=["batch_stats"])
+                    return ((o - a) ** 2).mean(), nv.get("batch_stats")
+                (l, bs), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    st.params)
+                return st.apply_gradients(g, new_batch_stats=bs), l
+
+            step = jax.jit(_step, donate_argnums=(0,))
+
+            st, loss = step(st, x)
+            float(loss)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                st, loss = step(st, x)
+            float(loss)
+            out["ae"] = b * iters / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"# AE bench failed: {type(e).__name__}", flush=True)
+
+    try:
+        if not on_tpu:
+            raise RuntimeError("fader head geometry needs the 192^3 crop")
+        with _deadline(600):
+            head = dict(c_in=32, c_out=64, conv_k=3, conv_s=1, conv_pad=0,
+                        l_in=64, l_out=32, batch_norm=True, act="relu",
+                        p_drop=0.5)
+            nd = 4
+            enc = make_encoder(dict(c_in=1, is_skip=False, deapth=3, c_base=8,
+                                    inc_size=2, reduce_size=False,
+                                    down_block_kwargs=dbk))
+            clf = Classificator(n_class=2, **head)
+            disc = Discriminator(n_domains=nd, **head)
+            size, b = 192, 4
+            x0 = jnp.zeros((1, size, size, size, 1))
+            es = create_train_state(enc, torch_adam(7e-4, weight_decay=1e-4),
+                                    x0, key)
+            latent0, _ = enc.apply(es.variables, x0)
+            fstate = FaderState(
+                encoder=es,
+                clf=create_train_state(clf, torch_adam(7e-4), latent0, key),
+                disc=create_train_state(disc, torch_adam(5e-4), latent0, key))
+            x = jnp.asarray(rng.normal(size=(b, size, size, size, 1)),
+                            jnp.float32)
+            y = jnp.asarray(rng.integers(0, 2, b), jnp.int32)
+            d = jnp.asarray(rng.integers(0, nd, b), jnp.int32)
+            lam = jnp.float32(1e-3)
+            fstate, dl, _ = disc_step(fstate, x, d, key, nd)
+            fstate, l, _, _ = enc_clf_step(fstate, x, y, d, lam, key, nd)
+            float(l)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                fstate, dl, _ = disc_step(fstate, x, d, key, nd)
+                fstate, l, _, _ = enc_clf_step(fstate, x, y, d, lam, key, nd)
+            float(l)
+            out["fader"] = b * iters / (time.perf_counter() - t0)
+    except Exception as e:
+        if on_tpu:
+            print(f"# fader bench failed: {type(e).__name__}", flush=True)
+    return out
+
+
 def main():
     from mri_epilepsy_diagnosis_tpu.models import UNet3D
     from mri_epilepsy_diagnosis_tpu.ops import functional as F
@@ -231,6 +347,10 @@ def main():
                   f"{type(e).__name__}", flush=True)
     F.set_precision_override(None)
 
+    F.set_precision_override("fast")
+    aux = bench_aux_workloads(on_tpu, iters)
+    F.set_precision_override(None)
+
     def _num(v, nd=3):
         return None if (v != v) else round(v, nd)  # NaN -> null (valid JSON)
 
@@ -246,6 +366,10 @@ def main():
         # north star: >=50 vol/s seg+clf on v5e-8 => 6.25 vol/s per chip
         "ensemble_vol_per_s": _num(ensemble_rate),
         "ensemble_vs_target_per_chip": _num(ensemble_rate / 6.25, 2),
+        # BASELINE configs 1-3 (no reference per-step numbers recorded)
+        "detection_patch_train_per_s": _num(aux["patch_clf"], 0),
+        "ae_train_vol_per_s": _num(aux["ae"], 2),
+        "fader_train_vol_per_s": _num(aux["fader"], 2),
         "volume_size": size,
         "train_volume_size": train_size,
         "batch": batch,
