@@ -175,7 +175,34 @@ def bench_aux_workloads(on_tpu, iters):
     rng = np.random.default_rng(2)
     key = jax.random.key(0)
     out = {"patch_clf": float("nan"), "ae": float("nan"),
-           "fader": float("nan")}
+           "fader": float("nan"), "dilated_cnn": float("nan")}
+
+    # DilatedCNN classification baseline: 180^3 volumes, batch 10 — the
+    # reference trains this at ~5.2 vol/s on a P100
+    # (baseline_sample_classification.ipynb cell 28)
+    try:
+        from mri_epilepsy_diagnosis_tpu.models import DilatedCNN
+        if not on_tpu:
+            raise RuntimeError("DilatedCNN geometry needs the 180^3 crop")
+        with _deadline(600):
+            size, b = 180, 10
+            model = DilatedCNN(input_shape=(size,) * 3)
+            st = create_train_state(model, torch_adam(1e-5, weight_decay=0.01),
+                                    jnp.zeros((1, size, size, size, 1)))
+            x = jnp.asarray(rng.normal(size=(b, size, size, size, 1)),
+                            jnp.float32)
+            y = jnp.asarray(rng.integers(0, 2, b), jnp.int32)
+            st, loss, _ = _class_step(st, x, y, key, True)
+            float(loss)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                st, loss, _ = _class_step(st, x, y, key, True)
+            float(loss)
+            out["dilated_cnn"] = b * iters / (time.perf_counter() - t0)
+    except Exception as e:
+        if on_tpu:
+            print(f"# dilated-cnn bench failed: {type(e).__name__}",
+                  flush=True)
 
     try:
         with _deadline(420):
@@ -368,6 +395,9 @@ def main():
         "ensemble_vs_target_per_chip": _num(ensemble_rate / 6.25, 2),
         # BASELINE configs 1-3 (no reference per-step numbers recorded)
         "detection_patch_train_per_s": _num(aux["patch_clf"], 0),
+        # reference: DilatedCNN ~5.2 vol/s train on P100 (BASELINE.md)
+        "clf_train_vol_per_s": _num(aux["dilated_cnn"], 2),
+        "clf_train_vs_baseline": _num(aux["dilated_cnn"] / 5.2, 1),
         "ae_train_vol_per_s": _num(aux["ae"], 2),
         "fader_train_vol_per_s": _num(aux["fader"], 2),
         "volume_size": size,
