@@ -20,19 +20,23 @@ from ..data.pipeline import prefetch_to_device
 _STEP_CACHE: dict = {}
 
 
-def _serving_step(apply_fn, classify_fn, dtype):
-    """One jitted step per (apply_fn, classify_fn, dtype): repeated
-    segment_volumes calls must not re-trace (remote compiles cost minutes)."""
-    key = (apply_fn, classify_fn, jnp.dtype(dtype).name)
+def _serving_step(apply_fn, classify_fn, dtype, device_preprocess=None):
+    """One jitted step per (apply_fn, classify_fn, dtype, device_preprocess):
+    repeated segment_volumes calls must not re-trace (remote compiles cost
+    minutes)."""
+    key = (apply_fn, classify_fn, jnp.dtype(dtype).name, device_preprocess)
     if key not in _STEP_CACHE:
 
         @jax.jit
         def step(variables, batch):
-            logits = apply_fn(variables, batch.astype(dtype))
+            if device_preprocess is not None:
+                batch = device_preprocess(batch)
+            x = batch.astype(dtype)
+            logits = apply_fn(variables, x)
             out = {"mask": jnp.argmax(logits, axis=-1).astype(jnp.uint8)}
             if classify_fn is not None:
                 out["probs"] = jax.nn.softmax(
-                    classify_fn(variables, batch.astype(dtype)), axis=-1)
+                    classify_fn(variables, x), axis=-1)
             return out
 
         _STEP_CACHE[key] = step
@@ -57,24 +61,37 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
                     batch_size: int = 4, dtype=jnp.bfloat16,
                     preprocess: Optional[Callable] = None,
                     classify_fn: Optional[Callable] = None,
-                    sharding=None) -> Iterator[dict]:
+                    sharding=None,
+                    device_preprocess: Optional[Callable] = None,
+                    transfer_dtype=None) -> Iterator[dict]:
     """Stream (D,H,W) or (D,H,W,1) volumes -> dicts with 'mask' (uint8) and
     optionally 'probs' from a classifier head.
 
     apply_fn(variables, batch) -> logits (B, D, H, W, classes).
     `preprocess` runs per-volume on host (numpy/jnp) before batching.
     `sharding` places batches on a mesh (data-parallel serving).
+
+    Host->device bandwidth is the serving bottleneck on tunneled platforms
+    (~20-70 MB/s here — a 192^3 f32 volume costs ~0.75 s in flight), so
+    `device_preprocess` moves normalization INTO the jitted step: volumes
+    transfer in their raw storage dtype (`transfer_dtype`, e.g. the int16 /
+    uint8 most T1w NIfTIs ship — 2-4x fewer bytes) and
+    `device_preprocess(batch) -> float batch` (e.g. `transforms.
+    znormalization` vmapped) runs on device before `apply_fn`.
     """
 
     def prepare(vol):
-        v = np.asarray(vol, np.float32)
+        if transfer_dtype is not None:
+            v = np.asarray(vol, transfer_dtype)
+        else:
+            v = np.asarray(vol, np.float32)
         if preprocess is not None:
             v = np.asarray(preprocess(v))
         if v.ndim == 3:
             v = v[..., None]
         return v
 
-    step = _serving_step(apply_fn, classify_fn, dtype)
+    step = _serving_step(apply_fn, classify_fn, dtype, device_preprocess)
 
     counts: list = []
 

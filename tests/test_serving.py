@@ -55,3 +55,33 @@ def test_segment_volumes_stream(rng):
         assert raised
     finally:
         _F.set_precision_override(None)
+
+
+def test_segment_volumes_device_preprocess(rng):
+    """Raw int16 volumes transfer and normalize on-device; masks must match
+    the host-preprocess float path."""
+    _F.set_precision_override("fast")
+    try:
+        model = UNet3D(out_channels_first_layer=4, num_encoding_blocks=2)
+        v = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)))
+        raw = [(rng.normal(size=(16, 16, 16)) * 200 + 600).astype(np.int16)
+               for _ in range(3)]
+
+        def dev_pre(batch):  # (B, D, H, W, 1) raw ints -> znormed floats
+            return jax.vmap(lambda vol: znormalization(
+                vol[..., 0].astype(jnp.float32))[..., None])(batch)
+
+        dev = list(segment_volumes(
+            lambda vv, b: model.apply(vv, b), v, raw, batch_size=2,
+            dtype=jnp.float32, transfer_dtype=np.int16,
+            device_preprocess=dev_pre))
+        host = list(segment_volumes(
+            lambda vv, b: model.apply(vv, b), v,
+            [r.astype(np.float32) for r in raw], batch_size=2,
+            dtype=jnp.float32,
+            preprocess=lambda x: znormalization(jnp.asarray(x))))
+        assert len(dev) == 3
+        for a, b in zip(dev, host):
+            assert (a["mask"] == b["mask"]).mean() > 0.999
+    finally:
+        _F.set_precision_override(None)
