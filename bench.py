@@ -51,6 +51,20 @@ def _deadline(seconds: int):
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
 
+# the reference's exact fader kwargs schemas (train_ENC_CLF.ipynb cell 17 /
+# train_AE.ipynb cell 8) — shared by the ensemble and aux benches
+FADER_DOWN_BLOCK_KWARGS = dict(conv_k=6, conv_pad=2, conv_s=2, maxpool_k=2,
+                               maxpool_s=2, batch_norm=True, act="l_relu")
+FADER_AE_KWARGS = dict(c_in=1, is_skip=False, deapth=3, c_base=8, inc_size=2,
+                       reduce_size=False,
+                       down_block_kwargs=FADER_DOWN_BLOCK_KWARGS)
+FADER_UP_BLOCK_KWARGS = dict(up="upsample", scale=4, scale_mode="nearest",
+                             conv_k=5, conv_pad=2, conv_s=1, batch_norm=True,
+                             act="l_relu")
+FADER_HEAD_KWARGS = dict(c_in=32, c_out=64, conv_k=3, conv_s=1, conv_pad=0,
+                         l_in=64, l_out=32, batch_norm=True, act="relu",
+                         p_drop=0.5)
+
 REFERENCE_INFER_VOL_PER_S = 1.0 / 7.54
 REFERENCE_TRAIN_VOL_PER_S = 1.0 / 4.4
 # patch epoch: 10 subjects x 8 patches of 64^3 in 45.8 s (BASELINE.md)
@@ -95,14 +109,8 @@ def bench_ensemble(size, batch, iters):
     from mri_epilepsy_diagnosis_tpu.models import Classificator, UNet3D
     from mri_epilepsy_diagnosis_tpu.models.fader import make_encoder
 
-    ae_kwargs = dict(c_in=1, is_skip=False, deapth=3, c_base=8, inc_size=2,
-                     reduce_size=False,
-                     down_block_kwargs=dict(conv_k=6, conv_pad=2, conv_s=2,
-                                            maxpool_k=2, maxpool_s=2,
-                                            batch_norm=True, act="l_relu"))
-    head_kwargs = dict(c_in=32, c_out=64, conv_k=3, conv_s=1, conv_pad=0,
-                       l_in=64, l_out=32, batch_norm=True, act="relu",
-                       p_drop=0.5)
+    ae_kwargs = FADER_AE_KWARGS
+    head_kwargs = FADER_HEAD_KWARGS
 
     seg = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
                  out_channels_first_layer=8)
@@ -211,8 +219,10 @@ def bench_aux_workloads(on_tpu, iters):
             except Exception as e:
                 print(f"# dilated-cnn b{b} bench failed: "
                       f"{type(e).__name__}", flush=True)
-    except Exception:
-        pass
+    except Exception as e:
+        if on_tpu:
+            print(f"# dilated-cnn bench setup failed: {type(e).__name__}",
+                  flush=True)
 
     try:
         with _deadline(420):
@@ -230,16 +240,10 @@ def bench_aux_workloads(on_tpu, iters):
     except Exception as e:
         print(f"# patch-clf bench failed: {type(e).__name__}", flush=True)
 
-    dbk = dict(conv_k=6, conv_pad=2, conv_s=2, maxpool_k=2, maxpool_s=2,
-               batch_norm=True, act="l_relu")
     try:
         with _deadline(600):
-            ae = AE(c_in=1, is_skip=False, deapth=3, c_base=8, inc_size=2,
-                    reduce_size=False, down_block_kwargs=dbk,
-                    up_block_kwargs=dict(up="upsample", scale=4,
-                                         scale_mode="nearest", conv_k=5,
-                                         conv_pad=2, conv_s=1,
-                                         batch_norm=True, act="l_relu"))
+            ae = AE(**FADER_AE_KWARGS,
+                    up_block_kwargs=FADER_UP_BLOCK_KWARGS)
             size, b = (128, 2) if on_tpu else (64, 1)
             st = create_train_state(ae, torch_adam(7e-4, weight_decay=1e-4),
                                     jnp.zeros((1, size, size, size, 1)), key)
@@ -273,13 +277,9 @@ def bench_aux_workloads(on_tpu, iters):
         if not on_tpu:
             raise RuntimeError("fader head geometry needs the 192^3 crop")
         with _deadline(600):
-            head = dict(c_in=32, c_out=64, conv_k=3, conv_s=1, conv_pad=0,
-                        l_in=64, l_out=32, batch_norm=True, act="relu",
-                        p_drop=0.5)
+            head = FADER_HEAD_KWARGS
             nd = 4
-            enc = make_encoder(dict(c_in=1, is_skip=False, deapth=3, c_base=8,
-                                    inc_size=2, reduce_size=False,
-                                    down_block_kwargs=dbk))
+            enc = make_encoder(FADER_AE_KWARGS)
             clf = Classificator(n_class=2, **head)
             disc = Discriminator(n_domains=nd, **head)
             size, b = 192, 4
@@ -382,9 +382,6 @@ def main():
         except Exception as e:
             print(f"# patch train bench (packed={packed}) failed: "
                   f"{type(e).__name__}", flush=True)
-    F.set_precision_override(None)
-
-    F.set_precision_override("fast")
     aux = bench_aux_workloads(on_tpu, iters)
     F.set_precision_override(None)
 

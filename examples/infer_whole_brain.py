@@ -55,8 +55,11 @@ def main():
     from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
         packed_unet_apply_v2)
 
-    apply_fn = ((lambda v, b: model.apply(v, b)) if args.fine
-                else packed_unet_apply_v2)
+    # the packed layout needs sizes divisible by 2^num_encoding_blocks;
+    # fall back to the fine path for e.g. --img-size 180
+    use_packed = not args.fine and args.img_size % 8 == 0
+    apply_fn = (packed_unet_apply_v2 if use_packed
+                else (lambda v, b: model.apply(v, b)))
     if args.sliding_window:
         logits = sliding_window_predict(apply_fn, variables, x,
                                         patch_size=64, overlap=4,

@@ -26,6 +26,8 @@ def _serving_step(apply_fn, classify_fn, dtype, device_preprocess=None):
     minutes)."""
     key = (apply_fn, classify_fn, jnp.dtype(dtype).name, device_preprocess)
     if key not in _STEP_CACHE:
+        if len(_STEP_CACHE) >= 16:  # bound stale closures' executables
+            _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
 
         @jax.jit
         def step(variables, batch):
@@ -78,7 +80,18 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
     uint8 most T1w NIfTIs ship — 2-4x fewer bytes) and
     `device_preprocess(batch) -> float batch` (e.g. `transforms.
     znormalization` vmapped) runs on device before `apply_fn`.
+
+    Pass a STABLE callable (module-level function, not a per-call lambda)
+    as `device_preprocess`: it is part of the compiled-step cache key, and
+    a fresh closure per call means a fresh trace + remote compile per call.
+    `preprocess` (host-side, float) and `transfer_dtype` are mutually
+    exclusive — host preprocessing would silently re-widen the transfer.
     """
+    if transfer_dtype is not None and preprocess is not None:
+        raise ValueError(
+            "transfer_dtype and (host) preprocess are mutually exclusive: "
+            "host preprocessing reverts the batch to float before transfer; "
+            "use device_preprocess instead")
 
     def prepare(vol):
         if transfer_dtype is not None:
