@@ -114,7 +114,8 @@ def train_segmentation_resilient(
         num_epochs: int, training_loader, validation_loader,
         state: TrainState, scheduler: Optional[ReduceLROnPlateau],
         manager: CheckpointManager, experiment=None, verbose: bool = True,
-        sharding=None, packed: bool = False, max_failures: int = 3):
+        sharding=None, packed: bool = False, max_failures: int = 3,
+        dashboard=None):
     """`train_segmentation` in elastic mode (see module docstring).
 
     Returns (state, train losses, val losses, completed_epoch); rerun the
@@ -126,5 +127,5 @@ def train_segmentation_resilient(
     return _train_loop(
         num_epochs, training_loader, validation_loader, state, scheduler,
         weights_stem="", save_epoch=1, experiment=experiment, verbose=verbose,
-        weights_dir="", sharding=sharding, dashboard=None, packed=packed,
+        weights_dir="", sharding=sharding, dashboard=dashboard, packed=packed,
         manager=manager, max_failures=max_failures)
