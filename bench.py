@@ -4,17 +4,19 @@ Workload: whole-brain 3D U-Net segmentation, the reference's flagship path
 (fepegar UNet ocfl=8, the shipped-checkpoint config,
 `segmentation/results_validation.ipynb`), at the reference's 192^3 crop.
 
-Metric: whole volumes segmented per second per chip (forward + argmax,
-batch 4, bf16 compute / f32 params).  Timing forces a scalar readback per
-step — `block_until_ready` alone does not synchronize on this TPU transport.
+Metric: whole volumes segmented per second per chip (packed-layout forward
++ argmax, batch 8, bf16 compute / f32 params).  Timing forces a scalar
+readback per step — `block_until_ready` alone does not synchronize on this
+TPU transport.
 
 Baseline: the reference's recorded per-volume rates on GTX 1080 (BASELINE.md)
 — validation at 7.54 s/vol (0.133 vol/s) for inference, train epoch at
 4.4 s/vol (0.227 vol/s) for the train step.
 
-Extra JSON keys: the f32 dice-loss train-step rate (the train graph falls
-back to smaller crops if the platform's remote compiler rejects 192^3 —
-the achieved size is reported in `train_volume_size`).
+Extra JSON keys cover every BASELINE config: the f32 dice-loss train-step
+rate (packed layout at 192^3 — the achieved size is in `train_volume_size`),
+the 64^3 patch-training rate, the seg+classification ensemble (north star),
+and the detection patch-CNN / DilatedCNN / AE / fader training rates.
 """
 import contextlib
 import json
