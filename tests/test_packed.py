@@ -246,3 +246,30 @@ def test_packed_train_step_matches_fine(rng):
         assert np.isfinite(float(loss_p2))
     finally:
         F.set_precision_override(None)
+
+
+def test_packed_train_remat_matches_nonremat(rng):
+    """jax.checkpoint per block must not change the step's numerics."""
+    from mri_epilepsy_diagnosis_tpu.models import UNet3D
+    from mri_epilepsy_diagnosis_tpu.train.optim import torch_adamw
+    from mri_epilepsy_diagnosis_tpu.train.seg import packed_seg_train_step
+    from mri_epilepsy_diagnosis_tpu.train.state import create_train_state
+
+    F.set_precision_override("fast")
+    try:
+        model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
+                       out_channels_first_layer=4)
+        tx = torch_adamw(1e-3)
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 1)), jnp.float32)
+        y = jnp.asarray(rng.random((2, 16, 16, 16, 1)) > 0.6, jnp.float32)
+        s1 = create_train_state(model, tx, jnp.zeros((1, 8, 8, 8, 1)))
+        s2 = jax.tree_util.tree_map(jnp.copy, s1)
+        s1, l1 = packed_seg_train_step(s1, x, y, remat=False)
+        s2, l2 = packed_seg_train_step(s2, x, y, remat=True)
+        np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s2.params),
+                        jax.tree_util.tree_leaves(s1.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)
+    finally:
+        F.set_precision_override(None)
