@@ -132,7 +132,8 @@ def test_upconv_packed_matches_fine(rng):
                                rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("ocfl,nb,size", [(4, 2, 8), (8, 3, 16)])
+@pytest.mark.parametrize("ocfl,nb,size", [(4, 2, 8), (8, 3, 16),
+                                          (16, 3, 16)])
 def test_packed_unet_v2_matches_unet3d(rng, ocfl, nb, size):
     from mri_epilepsy_diagnosis_tpu.models import UNet3D
     from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
