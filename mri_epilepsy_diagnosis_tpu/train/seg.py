@@ -298,19 +298,27 @@ def sweep_checkpoints(weights_dir: str, state: TrainState, loader,
     return results
 
 
-def validate_dsc_asd(state: TrainState, loader):
+def validate_dsc_asd(state: TrainState, loader, packed: bool = False):
     """Per-subject DSC + average surface distance + IoU over a loader
     (reference `segmentation/routine.py:217-237`).  Model forward runs
-    batched on device; surface metrics on host (native EDT)."""
+    batched on device (`packed=True` uses the packed execution layout —
+    3x faster at 192^3, identical masks); surface metrics on host
+    (native EDT)."""
     from ..metrics import (compute_average_surface_distance,
                            compute_dice_coefficient,
                            compute_surface_distances, get_iou_score)
+
+    if packed:
+        from ..models.unet_packed import packed_unet_apply_v2
+        fwd = jax.jit(packed_unet_apply_v2)
+    else:
+        fwd = lambda v, x: state.apply_fn(v, x, train=False)
 
     dsc, asd_mean, asd_std, iou = [], [], [], []
     for batch in loader:
         inputs = jnp.asarray(batch[0])
         targets = np.asarray(binarize_segmentation(jnp.asarray(batch[1])))
-        logits = state.apply_fn(state.variables, inputs, train=False)
+        logits = fwd(state.variables, inputs)
         preds = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
         for i in range(preds.shape[0]):
             gt = targets[i, ..., 0].astype(np.uint8)
