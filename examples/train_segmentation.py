@@ -90,7 +90,8 @@ def main():
             args.epochs, train_loader, val_loader, state, scheduler,
             args.weights_stem, experiment=experiment, packed=args.packed)
 
-    dsc, asd_mean, _, iou = validate_dsc_asd(state, val_loader)
+    dsc, asd_mean, _, iou = validate_dsc_asd(state, val_loader,
+                                             packed=args.packed)
     print(f"mean DSC {np.nanmean(dsc):.4f}  mean ASD {np.nanmean(asd_mean):.4f}"
           f"  mean IoU {np.mean(iou):.4f}")
 
