@@ -78,20 +78,25 @@ def main():
         sample, out_channels_first_layer=args.ocfl)
     experiment = Experiment(project_name="segmentation")
 
+    # whole-volume batches >= 2 only compile with per-block remat
+    packed_mode = args.packed
+    if args.packed and not args.patches and args.batch_size >= 2:
+        packed_mode = "remat"
+
     if args.resilient:
         from mri_epilepsy_diagnosis_tpu.train.resilience import (
             CheckpointManager, train_segmentation_resilient)
         manager = CheckpointManager("weights", stem=args.weights_stem)
         state, train_losses, val_losses, _ = train_segmentation_resilient(
             args.epochs, train_loader, val_loader, state, scheduler,
-            manager, experiment=experiment, packed=args.packed)
+            manager, experiment=experiment, packed=packed_mode)
     else:
         state, train_losses, val_losses = train_segmentation(
             args.epochs, train_loader, val_loader, state, scheduler,
-            args.weights_stem, experiment=experiment, packed=args.packed)
+            args.weights_stem, experiment=experiment, packed=packed_mode)
 
     dsc, asd_mean, _, iou = validate_dsc_asd(state, val_loader,
-                                             packed=args.packed)
+                                             packed=packed_mode)
     print(f"mean DSC {np.nanmean(dsc):.4f}  mean ASD {np.nanmean(asd_mean):.4f}"
           f"  mean IoU {np.mean(iou):.4f}")
 

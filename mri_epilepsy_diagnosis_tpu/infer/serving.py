@@ -25,7 +25,12 @@ def _serving_step(apply_fn, classify_fn, dtype, device_preprocess=None):
     repeated segment_volumes calls must not re-trace (remote compiles cost
     minutes)."""
     key = (apply_fn, classify_fn, jnp.dtype(dtype).name, device_preprocess)
-    if key not in _STEP_CACHE:
+    if key in _STEP_CACHE:
+        # LRU, not FIFO: re-insert on hit so a server cycling through many
+        # step combos never evicts its hottest compiled step (remote
+        # recompiles cost minutes)
+        _STEP_CACHE[key] = _STEP_CACHE.pop(key)
+    else:
         if len(_STEP_CACHE) >= 16:  # bound stale closures' executables
             _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
 

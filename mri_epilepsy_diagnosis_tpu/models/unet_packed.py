@@ -193,12 +193,15 @@ def _bn_train_packed(y, params, old_stats, *, pad_entries, valid,
     yf = y.astype(jnp.float32)
     c8 = y.shape[-1]
     c = c8 // 8
+    # one fused pass: E[x] and E[x^2] (zeroed pad entries add nothing to
+    # either sum, so only `valid` divides them).  var = E[x^2] - E[x]^2 is
+    # algebraically the reference's centered sum; the earlier centered
+    # formulation materialized a full f32 diff tensor per BN layer.
     s1 = jnp.sum(yf, axis=(0, 1, 2, 3)).reshape(8, c).sum(0)
+    s2 = jnp.sum(yf * yf, axis=(0, 1, 2, 3)).reshape(8, c).sum(0)
     mean = s1 / valid
-    diff = yf - jnp.tile(mean, 8)
-    s2 = jnp.sum(diff * diff, axis=(0, 1, 2, 3)).reshape(8, c).sum(0)
-    # each zeroed pad entry contributed (0 - mean)^2
-    var = (s2 - pad_entries * mean * mean) / valid
+    var = s2 / valid - mean * mean
+    del pad_entries  # implicit: pads contribute zero to both sums
     out = F.batch_norm(y, jnp.tile(mean, 8), jnp.tile(var, 8),
                        P.tile_channel_param(params["weight"]),
                        P.tile_channel_param(params["bias"]), eps)
@@ -320,9 +323,10 @@ def packed_unet_train_apply(variables, x, num_encoding_blocks: int = 3,
 
 
 def packed_dice_loss(logits_packed, targets_fine):
-    """Soft dice loss from PACKED logits and fine binary targets — the
-    sub-position axis is folded into a spatial axis (dice is a voxel sum, so
-    layout is irrelevant as long as probs and targets align)."""
+    """Soft dice loss from PACKED logits and fine targets — the sub-position
+    axis is folded into a spatial axis (dice is a voxel sum, so layout is
+    irrelevant as long as probs and targets align).  Binary (0/1 float)
+    targets for out_classes == 2, integer class labels otherwise."""
     from ..metrics.dice import get_dice_loss
 
     n, d2, h2, w2, c8 = logits_packed.shape
@@ -331,5 +335,9 @@ def packed_dice_loss(logits_packed, targets_fine):
         logits_packed.reshape(n, d2, h2, w2, 8, co), axis=-1)
     probs = probs.reshape(n, d2, h2, w2 * 8, co)
     tp = P.pack2(targets_fine).reshape(n, d2, h2, w2 * 8, 1)
-    onehot = jnp.concatenate([1.0 - tp, tp], axis=-1)
+    if co == 2:
+        onehot = jnp.concatenate([1.0 - tp, tp], axis=-1)
+    else:
+        onehot = jax.nn.one_hot(tp[..., 0].astype(jnp.int32), co,
+                                dtype=probs.dtype)
     return jnp.mean(get_dice_loss(probs, onehot, spatial_dimensions=(1, 2, 3)))

@@ -135,10 +135,14 @@ def run_epoch(epoch_idx: int, action: Action, loader, state: TrainState,
     `sharding` places them on a mesh.  `prefetch=0` keeps the synchronous
     transfer-per-step path.  `packed=True` trains through the packed
     (space-to-depth) execution layout — required for 192^3 whole-volume
-    training on this platform and ~3x faster (UNet3D nb=3 only)."""
+    training on this platform and ~3x faster (UNet3D nb=3 only);
+    `packed="remat"` additionally rematerializes each two-conv block in the
+    backward (required to compile 192^3 whole-volume batches >= 2)."""
     from ..data.pipeline import prefetch_to_device
 
-    train_step = packed_seg_train_step if packed else seg_train_step
+    train_step = (functools.partial(packed_seg_train_step,
+                                    remat=(packed == "remat"))
+                  if packed else seg_train_step)
     eval_step = packed_seg_eval_step if packed else seg_eval_step
     is_training = action == Action.TRAIN
     epoch_losses = []
@@ -171,7 +175,8 @@ def train_segmentation(num_epochs: int, training_loader, validation_loader,
     """`sharding` (optional NamedSharding) places every prefetched batch on a
     device mesh — data/spatial-parallel training over `core.mesh.create_mesh`
     with the same loop.  `packed=True` routes train steps through the packed
-    execution layout (see `run_epoch`).  `manager` (a
+    execution layout; `packed="remat"` adds per-block rematerialization for
+    whole-volume batches >= 2 (see `run_epoch`).  `manager` (a
     `train.resilience.CheckpointManager`) switches on elastic mode:
     auto-resume from the newest checkpoint (incl. scheduler state), atomic
     rolling per-epoch checkpoints (instead of the `save_epoch` cadence),
@@ -253,6 +258,12 @@ def _train_loop(num_epochs, training_loader, validation_loader, state,
                     print(f"epoch {epoch_idx}: non-finite loss — rolling "
                           f"back to last checkpoint "
                           f"({failures}/{max_failures})")
+                if manager.latest_epoch() is None:
+                    # never "roll back" to the just-poisoned in-memory state
+                    raise RuntimeError(
+                        f"epoch {epoch_idx} produced a non-finite loss and "
+                        "no checkpoint exists to roll back to (checkpoints "
+                        "pruned externally?)")
                 state, epoch_idx = _restore_with_scheduler()
                 continue
             failures = 0
