@@ -24,6 +24,7 @@ so it runs identically on CPU (tests) and TPU.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -121,19 +122,105 @@ def _pack_kernel_index():
     return np.asarray(src), np.asarray(dst)
 
 
+@functools.lru_cache(maxsize=None)
+def _axis_table_sa():
+    """Per-axis packing tensor A[t, q, r, s] = 1 iff output sub s's tap t
+    reads shifted-input cell offset q sub r ((q, r) = divmod(s + t, 2))."""
+    a = np.zeros((3, 2, 2, 2), np.float32)
+    for t in range(3):
+        for s in range(2):
+            q, r = divmod(s + t, 2)
+            a[t, q, r, s] = 1.0
+    return a
+
+
 def pack_weights2(w):
     """Fine (3,3,3,Ci,Co) conv kernel -> packed (2,2,2,8Ci,8Co).
 
     Entry [q, (r,ci), (s,co)] = w[t] where the output sub s's tap t lands on
     shifted-input cell offset q sub r:  q, r = divmod(s + t, 2)  per axis
     (t here is the 0..2 kernel index; the +1 input shift is already folded
-    in).  27 of 64 (q, r, s) combinations are populated."""
+    in).  27 of 64 (q, r, s) combinations are populated.
+
+    Built as one einsum with three constant 0/1 axis tensors (exact: every
+    output entry has at most one nonzero term).  The earlier 216-entry
+    scatter construction compiled to chains of dynamic-update-slice ops that
+    cost ~25 ms/step in the 192^3 train graph (trace, round 3)."""
     ci, co = w.shape[3], w.shape[4]
-    src, dst = _pack_kernel_index()
-    wp = jnp.zeros((2, 2, 2, 8, ci, 8, co), w.dtype)
-    wp = wp.at[dst[:, 0], dst[:, 1], dst[:, 2], dst[:, 3], :,
-               dst[:, 4], :].set(w[src[:, 0], src[:, 1], src[:, 2]])
+    a = jnp.asarray(_axis_table_sa(), w.dtype)
+    wp = jnp.einsum("adef,bghi,cjkl,abcmn->dgjehkmfiln", a, a, a, w)
     return wp.reshape(2, 2, 2, 8 * ci, 8 * co)
+
+
+def _dw_packed_qgroup(x_padded, g):
+    """Dense packed dw (2,2,2,8Ci,8Co) as 8 per-q-offset contractions.
+
+    `x_padded` is the conv's logical input INCLUDING its padding, so the
+    slice at offset q aligns with every output position of `g`.  Measured
+    ~2x faster than XLA's conv dw rule on this TPU toolchain at the 192^3
+    b1 train shapes, and compiles in seconds instead of minutes
+    (experiments/bwd_profile.py).  Einsum (not reshape+matmul) so GSPMD can
+    keep spatially-sharded operands sharded (partial dots + psum)."""
+    od, oh, ow = g.shape[1:4]
+    rows = []
+    for qd in range(2):
+        for qh in range(2):
+            for qw in range(2):
+                sl = lax.slice(
+                    x_padded, (0, qd, qh, qw, 0),
+                    (x_padded.shape[0], qd + od, qh + oh, qw + ow,
+                     x_padded.shape[4]))
+                rows.append(jnp.einsum(
+                    "ndhwi,ndhwo->io", sl, g,
+                    preferred_element_type=jnp.float32,
+                    precision=F._precision_for(x_padded.dtype)))
+    return jnp.stack(rows).reshape(2, 2, 2, x_padded.shape[4], g.shape[4])
+
+
+def _conv3_packed_raw(xp_shifted, wp):
+    return lax.conv_general_dilated(
+        xp_shifted, wp.astype(xp_shifted.dtype),
+        window_strides=(1, 1, 1), padding="VALID",
+        dimension_numbers=F.CONV3D_DIMS,
+        preferred_element_type=F._preferred_for(xp_shifted, jnp.float32),
+        precision=F._precision_for(xp_shifted.dtype),
+    ).astype(xp_shifted.dtype)
+
+
+@jax.custom_vjp
+def _conv3_packed_core(xp_shifted, wp):
+    """Shifted->aligned packed conv with a hand-rolled VJP: XLA's conv
+    gradient rules are ~2x slower than this formulation at the packed train
+    shapes and their compiles crash/413 the remote helper
+    (experiments/bwd_profile.py)."""
+    return _conv3_packed_raw(xp_shifted, wp)
+
+
+def _conv3_packed_fwd(xp_shifted, wp):
+    return _conv3_packed_raw(xp_shifted, wp), (xp_shifted, wp)
+
+
+def _conv3_packed_bwd(res, g):
+    xs, wp = res
+    # dx: transpose of a k=2 VALID conv == k=2 pad-1 conv with the
+    # spatially-flipped, io-swapped kernel (an aligned->shifted conv)
+    w_t = jnp.flip(wp, axis=(0, 1, 2)).swapaxes(3, 4)
+    dx = lax.conv_general_dilated(
+        g, w_t.astype(g.dtype), (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=F.CONV3D_DIMS,
+        preferred_element_type=F._preferred_for(g, jnp.float32),
+        precision=F._precision_for(g.dtype),
+    ).astype(xs.dtype)
+    dwp = _dw_packed_qgroup(xs, g).astype(wp.dtype)
+    return dx, dwp
+
+
+_conv3_packed_core.defvjp(_conv3_packed_fwd, _conv3_packed_bwd)
+
+
+# A/B toggle (experiments/train192_vjp_probe.py): the custom conv VJPs are
+# the production path; MRI_TPU_PACKED_VJP=0 restores XLA's gradient rules.
+_USE_CUSTOM_VJP = os.environ.get("MRI_TPU_PACKED_VJP", "1") != "0"
 
 
 def conv3_packed(xp_shifted, wp, bias=None):
@@ -144,13 +231,8 @@ def conv3_packed(xp_shifted, wp, bias=None):
     bias:       fine (Co,) — tiled over sub-positions here.
     Returns aligned packed output (N, S/2, ..., 8Co).
     """
-    y = lax.conv_general_dilated(
-        xp_shifted, wp.astype(xp_shifted.dtype),
-        window_strides=(1, 1, 1), padding="VALID",
-        dimension_numbers=F.CONV3D_DIMS,
-        preferred_element_type=F._preferred_for(xp_shifted, jnp.float32),
-        precision=F._precision_for(xp_shifted.dtype),
-    ).astype(xp_shifted.dtype)
+    y = (_conv3_packed_core(xp_shifted, wp) if _USE_CUSTOM_VJP
+         else _conv3_packed_raw(xp_shifted, wp))
     if bias is not None:
         y = y + jnp.tile(bias, 8).astype(y.dtype)
     return y
@@ -281,15 +363,67 @@ def _pack_kernel_index_as():
     return np.asarray(src), np.asarray(dst)
 
 
+@functools.lru_cache(maxsize=None)
+def _axis_table_as():
+    """Per-axis tensor A[t, p, q, r] = 1 iff shifted output sub r's tap t
+    reads aligned cell offset p (kernel index) sub q
+    ((p - 1, q) = divmod(r + t - 2, 2))."""
+    a = np.zeros((3, 2, 2, 2), np.float32)
+    for t in range(3):
+        for r in range(2):
+            o, q = divmod(r + t - 2, 2)
+            a[t, o + 1, q, r] = 1.0
+    return a
+
+
 def pack_weights2_as(w):
     """Fine (3,3,3,Ci,Co) kernel -> packed (2,2,2,8Ci,8Co) mapping ALIGNED
-    input cells to SHIFTED output cells (`conv3_packed_as`)."""
+    input cells to SHIFTED output cells (`conv3_packed_as`).  Same
+    constant-einsum construction as `pack_weights2`."""
     ci, co = w.shape[3], w.shape[4]
-    src, dst = _pack_kernel_index_as()
-    wp = jnp.zeros((2, 2, 2, 8, ci, 8, co), w.dtype)
-    wp = wp.at[dst[:, 0], dst[:, 1], dst[:, 2], dst[:, 3], :,
-               dst[:, 4], :].set(w[src[:, 0], src[:, 1], src[:, 2]])
+    a = jnp.asarray(_axis_table_as(), w.dtype)
+    wp = jnp.einsum("adef,bghi,cjkl,abcmn->dgjehkmfiln", a, a, a, w)
     return wp.reshape(2, 2, 2, 8 * ci, 8 * co)
+
+
+def _conv3_packed_as_raw(xp_aligned, wp):
+    return lax.conv_general_dilated(
+        xp_aligned, wp.astype(xp_aligned.dtype),
+        window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+        dimension_numbers=F.CONV3D_DIMS,
+        preferred_element_type=F._preferred_for(xp_aligned, jnp.float32),
+        precision=F._precision_for(xp_aligned.dtype),
+    ).astype(xp_aligned.dtype)
+
+
+@jax.custom_vjp
+def _conv3_packed_as_core(xp_aligned, wp):
+    """Aligned->shifted packed conv with the same hand-rolled VJP strategy
+    as `_conv3_packed_core` (see `_dw_packed_qgroup`)."""
+    return _conv3_packed_as_raw(xp_aligned, wp)
+
+
+def _conv3_packed_as_fwd(xp_aligned, wp):
+    return _conv3_packed_as_raw(xp_aligned, wp), (xp_aligned, wp)
+
+
+def _conv3_packed_as_bwd(res, g):
+    xp, wp = res
+    # dx: transpose of a k=2 pad-1 conv == k=2 VALID conv with the
+    # spatially-flipped, io-swapped kernel (a shifted->aligned conv)
+    w_t = jnp.flip(wp, axis=(0, 1, 2)).swapaxes(3, 4)
+    dx = lax.conv_general_dilated(
+        g, w_t.astype(g.dtype), (1, 1, 1), "VALID",
+        dimension_numbers=F.CONV3D_DIMS,
+        preferred_element_type=F._preferred_for(g, jnp.float32),
+        precision=F._precision_for(g.dtype),
+    ).astype(xp.dtype)
+    xpad = jnp.pad(xp, ((0, 0),) + ((1, 1),) * 3 + ((0, 0),))
+    dwp = _dw_packed_qgroup(xpad, g).astype(wp.dtype)
+    return dx, dwp
+
+
+_conv3_packed_as_core.defvjp(_conv3_packed_as_fwd, _conv3_packed_as_bwd)
 
 
 def conv3_packed_as(xp_aligned, wp, bias=None):
@@ -300,13 +434,8 @@ def conv3_packed_as(xp_aligned, wp, bias=None):
     (fine -1 and S per axis) hold the conv's pad-extrapolation — zero, as
     long as the input's own pads are honoured by the conv's zero padding.
     """
-    y = lax.conv_general_dilated(
-        xp_aligned, wp.astype(xp_aligned.dtype),
-        window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
-        dimension_numbers=F.CONV3D_DIMS,
-        preferred_element_type=F._preferred_for(xp_aligned, jnp.float32),
-        precision=F._precision_for(xp_aligned.dtype),
-    ).astype(xp_aligned.dtype)
+    y = (_conv3_packed_as_core(xp_aligned, wp) if _USE_CUSTOM_VJP
+         else _conv3_packed_as_raw(xp_aligned, wp))
     if bias is not None:
         y = y + jnp.tile(bias, 8).astype(y.dtype)
     return y
@@ -328,21 +457,33 @@ def _shifted_pad_masks(c8: int):
     return masks
 
 
+@functools.lru_cache(maxsize=None)
+def _shifted_pad_axis_mask(axis: int, cells: int, c8: int):
+    """(cells, c8) multiplier: 1 everywhere except the pad sub-positions of
+    the first/last cell along `axis` (numpy, built once per shape)."""
+    lo, hi = _shifted_pad_masks(c8)[axis]
+    m = np.ones((cells, c8), np.float32)
+    m[0] = lo
+    m[-1] = hi
+    return m
+
+
 def zero_shifted_pads(xs):
     """Zero the pad voxels of a shifted packed tensor (after BN/activation
-    made them nonzero).  Touches only the six boundary cell-planes."""
+    made them nonzero).
+
+    One fused elementwise multiply by the product of three broadcast
+    per-axis masks: the earlier six boundary-plane `.at[].multiply` updates
+    compiled to full-tensor dynamic-update-slice copies on this toolchain
+    (~2 ms each in the 192^3 train trace), while this forms a single fusion
+    with the surrounding BN/activation chain — and its VJP is the same
+    single multiply."""
     c8 = xs.shape[-1]
-    masks = _shifted_pad_masks(c8)
-    for axis, (lo, hi) in enumerate(masks):
-        lo = jnp.asarray(lo, xs.dtype)
-        hi = jnp.asarray(hi, xs.dtype)
-        sl_lo = [slice(None)] * 5
-        sl_lo[1 + axis] = slice(0, 1)
-        sl_hi = [slice(None)] * 5
-        sl_hi[1 + axis] = slice(xs.shape[1 + axis] - 1, xs.shape[1 + axis])
-        xs = xs.at[tuple(sl_lo)].multiply(lo)
-        xs = xs.at[tuple(sl_hi)].multiply(hi)
-    return xs
+    md = jnp.asarray(_shifted_pad_axis_mask(0, xs.shape[1], c8), xs.dtype)
+    mh = jnp.asarray(_shifted_pad_axis_mask(1, xs.shape[2], c8), xs.dtype)
+    mw = jnp.asarray(_shifted_pad_axis_mask(2, xs.shape[3], c8), xs.dtype)
+    return (xs * md[:, None, None, :] * mh[None, :, None, :]
+            * mw[None, None, :, :])
 
 
 @functools.lru_cache(maxsize=None)
@@ -578,33 +719,70 @@ def _upconv_face(x_aligned, w_u, axis, side):
     return _pack2_2d_shifted(_conv2d_pad1(u_cat, w_cat))
 
 
-def _set_face(ys, axis, side, face, co):
-    """Write a shifted-packed 2-D face into ys's boundary cell-plane for
-    output sub r=1 (side 0) or r=0 (side 1) of `axis`, as 2^axis
-    contiguous channel-block static update-slices (no sub reshapes)."""
-    cells = ys.shape[1 + axis]
-    idx = 0 if side == 0 else cells - 1
+@functools.lru_cache(maxsize=None)
+def _face_keep_mask(cells: int, ch: int, nbits: int, bit: int):
+    """(cells, ch) keep-mask zeroing exactly the entries a face pair writes
+    along one axis of a shifted tensor: first cell's sub==1 and last cell's
+    sub==0 for the given sub `bit` of the `nbits` packed sub bits."""
+    c = ch >> nbits
+    sub = np.arange(ch) // c
+    b = (sub >> (nbits - 1 - bit)) & 1
+    m = np.ones((cells, ch), np.float32)
+    m[0, b == 1] = 0.0
+    m[-1, b == 0] = 0.0
+    return m
+
+
+def _embed_face(face, axis, side, out_shape):
+    """Place a face plane (N, A, B, 4C) into a zero (shifted) full tensor:
+    insert the written sub bit (r=1 for side 0, r=0 for side 1) into the
+    channel dim and zero-pad the cell dim of `axis`.  Pure reshape/pad —
+    fuses into the surrounding add instead of a dynamic-update-slice."""
+    n, a_sz, b_sz, c4 = face.shape
     r = 1 if side == 0 else 0
-    c8 = ys.shape[-1]
-    block = c8 >> (axis + 1)
-    f = jnp.expand_dims(face, 1 + axis).astype(ys.dtype)
-    for j in range(1 << axis):
-        tgt = (2 * j + r) * block
-        sl = [slice(None)] * 5
-        sl[1 + axis] = slice(idx, idx + 1)
-        sl[4] = slice(tgt, tgt + block)
-        ys = ys.at[tuple(sl)].set(f[..., j * block:(j + 1) * block])
-    return ys
+    pre = 1 << axis  # face sub bits ordered before the inserted bit
+    f = face.reshape(n, a_sz, b_sz, pre, 1, c4 // pre)
+    f = jnp.pad(f, [(0, 0)] * 4 + [(r, 1 - r)] + [(0, 0)])
+    f = f.reshape(n, a_sz, b_sz, 2 * c4)
+    f = jnp.expand_dims(f, 1 + axis)
+    cells = out_shape[1 + axis]
+    idx = 0 if side == 0 else cells - 1
+    pad = [(0, 0)] * 5
+    pad[1 + axis] = (idx, cells - 1 - idx)
+    return jnp.pad(f, pad)
 
 
 def upconv_fix_faces(ys, x_aligned, w_u):
     """Overwrite the six boundary fine planes of `upconv_packed`'s output
-    with exactly-computed values (fine-path zero-padding semantics)."""
-    co = ys.shape[-1] // 8
-    for axis in range(3):
+    with exactly-computed values (fine-path zero-padding semantics).
+
+    Arithmetic form: ys is multiplied by keep-masks zeroing every entry a
+    face writes, then the (overlap-disjoint) embedded faces are added.
+    The earlier per-face `.at[].set` writes compiled to latency-bound
+    dynamic-update-slices (~2 ms each for 1.2 MB planes) plus full-tensor
+    copies on this toolchain; this form fuses into elementwise passes.
+    Overlaps (edges/corners) follow the original sequential-write
+    semantics: the highest-axis face wins, so each lower-axis face is
+    masked where any higher axis' faces cover."""
+    c8 = ys.shape[-1]
+    dtype = ys.dtype
+    for a in range(3):
+        m = jnp.asarray(_face_keep_mask(ys.shape[1 + a], c8, 3, a), dtype)
+        shape = [1, 1, 1, 1, c8]
+        shape[1 + a] = ys.shape[1 + a]
+        ys = ys * m.reshape(shape)
+    for a in range(3):
+        others = [ax for ax in range(3) if ax != a]
         for side in (0, 1):
-            face = _upconv_face(x_aligned, w_u, axis, side)
-            ys = _set_face(ys, axis, side, face, co)
+            face = _upconv_face(x_aligned, w_u, a, side).astype(dtype)
+            for k, ax in enumerate(others):
+                if ax > a:
+                    mk = jnp.asarray(_face_keep_mask(
+                        face.shape[1 + k], face.shape[-1], 2, k), dtype)
+                    shape = [1, 1, 1, face.shape[-1]]
+                    shape[1 + k] = face.shape[1 + k]
+                    face = face * mk.reshape(shape)
+            ys = ys + _embed_face(face, a, side, ys.shape)
     return ys
 
 
