@@ -26,6 +26,65 @@ def local_device_count() -> int:
     return len(jax.devices())
 
 
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> bool:
+    """Multi-host (DCN) entry point: `jax.distributed.initialize` guarded so
+    single-process runs (this image: one tunneled chip) are a no-op.
+
+    On a real multi-host pod slice each host calls this before any jax op;
+    afterwards `jax.devices()` is global, `jax.local_devices()` per-host,
+    and `create_mesh(..., multi_host=True)` lays the global mesh out with
+    the data axis outermost so its collectives ride DCN only between hosts
+    while spatial halo exchanges stay on intra-slice ICI (SURVEY.md §2.3).
+    Returns True when a multi-process runtime was actually initialized.
+    """
+    if num_processes in (None, 0, 1) and coordinator_address is None:
+        return False  # single-process: nothing to initialize
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def process_batch_bounds(global_batch: int, num_hosts: int | None = None,
+                         host_id: int | None = None) -> tuple[int, int]:
+    """[start, stop) of the global batch this host must feed when the batch
+    dim is sharded over a data axis laid out host-major.
+
+    Pure arithmetic (unit-testable without real hosts): requires
+    `global_batch` divisible by `num_hosts` — jax global arrays need equal
+    per-host addressable shards.
+    """
+    if num_hosts is None:
+        num_hosts = jax.process_count()
+    if host_id is None:
+        host_id = jax.process_index()
+    if global_batch % num_hosts:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by {num_hosts} "
+            f"hosts: every host must contribute an equal shard")
+    per = global_batch // num_hosts
+    return host_id * per, (host_id + 1) * per
+
+
+def host_local_batch(global_array, mesh: Mesh, sharding=None):
+    """Build a global jax.Array for `global_array`'s batch dim from THIS
+    host's slice only (multi-host input pipeline: each host loads just the
+    rows `process_batch_bounds` assigns it).
+
+    Single-process: equivalent to `jax.device_put(x, sharding)`.  The
+    caller passes the FULL global array in single-process runs and only its
+    local rows in multi-process runs (standard per-host input sharding).
+    """
+    if sharding is None:
+        sharding = data_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(jax.numpy.asarray(global_array), sharding)
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(global_array))
+
+
 def enable_compilation_cache(path: str = "/tmp/mri_tpu_jax_cache",
                              min_compile_secs: float = 1.0):
     """Persistent executable cache — remote TPU compiles on this platform
@@ -39,12 +98,21 @@ def create_mesh(
     axis_names: Sequence[str] = ("data",),
     axis_sizes: Sequence[int] | None = None,
     devices=None,
+    multi_host: bool = False,
 ) -> Mesh:
     """Build a mesh over `devices` (default: all).
 
     If ``axis_sizes`` is None, all devices go to the first axis and the rest
-    get size 1.
+    get size 1.  ``multi_host=True`` asserts a multi-process runtime
+    (`initialize_distributed`) and keeps jax's host-major global device
+    order, so the FIRST axis is the one sharded across hosts — put ``data``
+    first and feed each host its `process_batch_bounds` slice
+    (`host_local_batch`).
     """
+    if multi_host and jax.process_count() == 1:
+        raise RuntimeError(
+            "create_mesh(multi_host=True) requires a multi-process runtime: "
+            "call core.mesh.initialize_distributed(...) on every host first")
     if devices is None:
         devices = jax.devices()
     n = len(devices)

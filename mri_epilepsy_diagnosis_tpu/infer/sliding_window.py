@@ -56,6 +56,30 @@ def extract_patches(vol, locations, patch_size) -> jnp.ndarray:
     return jax.vmap(get)(jnp.asarray(locations))
 
 
+def make_sharded_apply(apply_fn: Callable, mesh) -> Callable:
+    """Wrap a patch-batch `apply_fn(variables, patches)` so each model call
+    inside `sliding_window_predict` runs data(+spatial)-parallel on `mesh`.
+
+    Patch batches get a sharding constraint (batch over 'data', patch-D over
+    'spatial' when that axis exists) so GSPMD partitions the conv work and
+    inserts halo exchanges; extraction/aggregation scans stay replicated.
+    Jit `sliding_window_predict` (or call it eagerly) with the wrapped fn —
+    the torchio-GridSampler analog of multi-device batched inference.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    has_spatial = "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1
+    spec = P("data", "spatial" if has_spatial else None)
+    s = NamedSharding(mesh, spec)
+
+    def wrapped(variables, patches):
+        patches = jax.lax.with_sharding_constraint(patches, s)
+        out = apply_fn(variables, patches)
+        return jax.lax.with_sharding_constraint(out, s)
+
+    return wrapped
+
+
 @functools.partial(jax.jit,
                    static_argnames=("apply_fn", "patch_size", "overlap",
                                     "batch_size", "mode", "num_classes"))

@@ -44,10 +44,43 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, s)
 
 
+def check_shard_divisibility(shape, mesh: Mesh, data_axis: Optional[str],
+                             spatial_axis: Optional[str] = None):
+    """Fail fast (clear message) when an array can't shard evenly.
+
+    GSPMD tolerates uneven shards by silent padding, which wastes a full
+    padded block of FLOPs per device and changes batch statistics; the
+    framework instead requires batch % data-axis == 0 and (for volume
+    sharding) D % spatial-axis == 0 — same contract as the UNet's own
+    /2^k divisibility rule.
+    """
+    if data_axis in mesh.axis_names:
+        n = mesh.shape[data_axis]
+        if n > 1 and shape[0] % n:
+            raise ValueError(
+                f"batch dim {shape[0]} not divisible by mesh '{data_axis}' "
+                f"axis size {n}: pad or rebatch the input (uneven shards "
+                f"would be silently zero-padded per device)")
+    if spatial_axis and spatial_axis in mesh.axis_names:
+        n = mesh.shape[spatial_axis]
+        if n > 1 and len(shape) > 1 and shape[1] % n:
+            raise ValueError(
+                f"spatial dim D={shape[1]} not divisible by mesh "
+                f"'{spatial_axis}' axis size {n}: crop/pad the volume so "
+                f"every device holds an equal D slab")
+
+
 def shard_batch(batch, mesh: Mesh, sharding: Optional[NamedSharding] = None):
     """device_put a batch pytree with its dim-0 sharded over 'data'."""
     s = sharding or batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), s), batch)
+
+    def put(x):
+        x = jnp.asarray(x)
+        if sharding is None:
+            check_shard_divisibility(x.shape, mesh, "data")
+        return jax.device_put(x, s)
+
+    return jax.tree.map(put, batch)
 
 
 def make_parallel_apply(apply_fn, mesh: Mesh, in_volume_sharding=True):
@@ -57,8 +90,17 @@ def make_parallel_apply(apply_fn, mesh: Mesh, in_volume_sharding=True):
     x_shard = (volume_sharding(mesh, "data", "spatial" if has_spatial else None)
                if in_volume_sharding else batch_sharding(mesh))
     rep = NamedSharding(mesh, P())
-    return jax.jit(apply_fn, in_shardings=(rep, x_shard),
-                   out_shardings=x_shard)
+    jitted = jax.jit(apply_fn, in_shardings=(rep, x_shard),
+                     out_shardings=x_shard)
+
+    @functools.wraps(apply_fn)
+    def checked(variables, x):
+        check_shard_divisibility(
+            x.shape, mesh, "data",
+            "spatial" if (in_volume_sharding and has_spatial) else None)
+        return jitted(variables, x)
+
+    return checked
 
 
 def halo_exchange(x, axis_name: str, halo: int, dim: int = 1):

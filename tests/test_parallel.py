@@ -189,3 +189,55 @@ def test_packed_train_step_on_mesh_matches_single_device(rng):
                     jax.tree_util.tree_leaves(st_ref.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0.05, atol=5e-3)
+
+
+def test_multi_host_batch_arithmetic():
+    """Per-host input sharding arithmetic (SURVEY.md §2.3 multi-host target):
+    bounds partition the global batch exactly, host-major, equal shards."""
+    from mri_epilepsy_diagnosis_tpu.core.mesh import (host_local_batch,
+                                                      initialize_distributed,
+                                                      process_batch_bounds)
+
+    covered = []
+    for h in range(4):
+        lo, hi = process_batch_bounds(32, num_hosts=4, host_id=h)
+        assert hi - lo == 8
+        covered.extend(range(lo, hi))
+    assert covered == list(range(32))
+
+    with pytest.raises(ValueError, match="not divisible"):
+        process_batch_bounds(30, num_hosts=4, host_id=0)
+
+    # single-process guards: initialize is a no-op, multi_host mesh refuses
+    assert initialize_distributed() is False
+    with pytest.raises(RuntimeError, match="multi-process runtime"):
+        create_mesh(("data",), multi_host=True)
+
+    # single-process host_local_batch == device_put with the data sharding
+    _require_devices(8)
+    mesh = create_mesh(("data",))
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    arr = host_local_batch(x, mesh)
+    assert arr.sharding.spec == P("data")
+    np.testing.assert_array_equal(np.asarray(arr), x)
+
+
+def test_uneven_shard_guards():
+    """batch %% data-axis and D %% spatial-axis must fail fast with a clear
+    message instead of GSPMD's silent padding."""
+    _require_devices(8)
+    from mri_epilepsy_diagnosis_tpu.parallel import check_shard_divisibility
+
+    mesh = create_mesh(("data", "spatial"), (4, 2))
+    with pytest.raises(ValueError, match="batch dim 3 not divisible"):
+        shard_batch(np.zeros((3, 4, 4, 4, 1), np.float32), mesh)
+    # divisible batch passes
+    out = shard_batch(np.zeros((8, 4, 4, 4, 1), np.float32), mesh)
+    assert out.shape == (8, 4, 4, 4, 1)
+
+    with pytest.raises(ValueError, match="spatial dim D=9"):
+        check_shard_divisibility((4, 9, 8, 8, 1), mesh, "data", "spatial")
+
+    f = make_parallel_apply(lambda v, x: x * 2.0, mesh)
+    with pytest.raises(ValueError, match="spatial dim D=7"):
+        f({}, jnp.zeros((4, 7, 8, 8, 1)))
