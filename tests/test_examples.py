@@ -107,3 +107,14 @@ def test_infer_whole_brain(tmp_path):
                "--coord-min", 4, 4, 4, "--out", tmp_path / "pred.nii.gz")
     assert "foreground voxels" in out
     assert (tmp_path / "pred.nii.gz").exists()
+
+
+@requires_reference
+def test_validate_checkpoints(tmp_path):
+    out = _run(tmp_path, "validate_checkpoints.py", "--synthetic",
+               "--img-size", 16, "--ocfl", 8, "--n-synthetic", 2,
+               "--pattern", "whole_im_train_seg_parc_epoch_7.pth")
+    assert "whole_im_train_seg_parc_epoch_7.pth" in out
+    assert "best:" in out
+    # the sweep reports all three reference metrics per checkpoint
+    assert "DSC" in out and "ASD" in out and "IoU" in out
