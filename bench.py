@@ -124,16 +124,18 @@ def bench_ensemble(size, batch, iters):
     latent0, _ = enc.apply(enc_v, jnp.zeros((1, size, size, size, 1)))
     clf_v = clf.init(jax.random.key(2), latent0)
 
+    from mri_epilepsy_diagnosis_tpu.models.fader_packed import (
+        encoder_apply_packed)
     from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
         packed_unet_apply_v2)
 
-    # NB: the module (separable-conv) encoder beats the fused dense-kernel
-    # path on TPU (56 vs 105 ms standalone at b8 — models/fader.py
-    # `encoder_apply_fused` docstring), so the ensemble keeps enc.apply.
+    # encoder runs the packed layout too (r3): full-graph A/B 30.1 -> 33.7
+    # vol/s at b8 (experiments/ensemble_packed_enc.py); the fused
+    # dense-kernel path had lost its A/B (fader.py `encoder_apply_fused`)
     @jax.jit
     def step(seg_v, enc_v, clf_v, x):
         mask = jnp.argmax(packed_unet_apply_v2(seg_v, x), axis=-1)
-        latent, _ = enc.apply(enc_v, x)
+        latent, _ = encoder_apply_packed(enc_v, x, ae_kwargs)
         probs = jax.nn.softmax(clf.apply(clf_v, latent), axis=-1)
         return mask.sum() + probs.sum()
 

@@ -147,3 +147,38 @@ def test_encoder_apply_fused_matches_module():
         assert sizes == sizes_ref
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_encoder_apply_packed_matches_module():
+    """Packed-layout encoder (models/fader_packed.py) == Encoder.apply: the
+    strided separable convs collapse exactly onto packed cells and the 2^3
+    pool onto sub-groups, with trained (non-default) batch stats.  64^3
+    packs all three blocks; 40^3 exercises the fine fallback for the deep
+    non-divisible block."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mri_epilepsy_diagnosis_tpu.models.fader import make_encoder
+    from mri_epilepsy_diagnosis_tpu.models.fader_packed import (
+        encoder_apply_packed)
+
+    rng = np.random.default_rng(0)
+    for size, depth in ((64, 3), (40, 2)):
+        ae_kwargs = dict(c_in=1, is_skip=False, deapth=depth, c_base=8,
+                         inc_size=2, reduce_size=False,
+                         down_block_kwargs=dict(
+                             conv_k=6, conv_pad=2, conv_s=2, maxpool_k=2,
+                             maxpool_s=2, batch_norm=True, act="l_relu"))
+        enc = make_encoder(ae_kwargs)
+        x0 = jnp.asarray(rng.normal(size=(2, size, size, size, 1)),
+                         jnp.float32)
+        v = enc.init(jax.random.key(1), x0)
+        _, nv = enc.apply(v, x0, train=True, mutable=["batch_stats"])
+        v = {"params": v["params"], "batch_stats": nv["batch_stats"]}
+        ref, sizes_ref = enc.apply(v, x0)
+        out, sizes = jax.jit(
+            lambda v, x: encoder_apply_packed(v, x, ae_kwargs))(v, x0)
+        assert tuple(map(tuple, sizes)) == tuple(map(tuple, sizes_ref))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
