@@ -211,6 +211,27 @@ def _b16_cache_warm(size: int, timeout_s: int = 240) -> bool:
     return ok
 
 
+def _ensemble_b16_cache_warm(timeout_s: int = 420) -> bool:
+    """True iff the batch-16 ensemble executable compiles/loads within the
+    timeout.  Re-invokes this script with --probe-ensemble-b16 so the probe
+    subprocess runs the EXACT `bench_ensemble` computation (the persistent
+    cache keys on the jitted function), and a wedged cold compile is
+    hard-killed instead of blocking the bench."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--probe-ensemble-b16"],
+            capture_output=True, timeout=timeout_s)
+        ok = proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    print(f"# ensemble b16 cache probe: {'ok' if ok else 'cold/failed'} -> "
+          f"batch {16 if ok else 8}", flush=True)
+    return ok
+
+
 def bench_aux_workloads(on_tpu, iters):
     """BASELINE configs 1-3: detection patch-CNN train steps, AE 128^3
     pretraining, fader enc+clf+disc alternation at the 192^3 crop.  Each is
@@ -357,6 +378,13 @@ def bench_aux_workloads(on_tpu, iters):
 
 
 def main():
+    import sys
+
+    if "--probe-ensemble-b16" in sys.argv:
+        # cache-warm probe subprocess (see _ensemble_b16_cache_warm)
+        print(bench_ensemble(192, 16, 1), flush=True)
+        return
+
     from mri_epilepsy_diagnosis_tpu.models import UNet3D
     from mri_epilepsy_diagnosis_tpu.ops import functional as F
     from mri_epilepsy_diagnosis_tpu.train.optim import torch_adamw
@@ -392,14 +420,24 @@ def main():
         infer_vol_per_s = bench_infer(model, variables, size, batch, iters)
 
     # seg+clf ensemble (the fader encoder geometry needs the 192^3 crop);
-    # pinned to b8 — only the bare-infer b16 executable is cache-probed
+    # b16 runs 38.1 vol/s vs 33.7 at b8 (experiments/ensemble_packed_enc.py)
+    # but is only attempted when the probe subprocess compiles it in time
     ensemble_rate = float("nan")
     if size == 192:
+        eb = 16 if _ensemble_b16_cache_warm() else 8
         try:
             with _deadline(900):
-                ensemble_rate = bench_ensemble(size, 8, iters)
+                ensemble_rate = bench_ensemble(size, eb, iters)
         except Exception as e:
-            print(f"# ensemble bench failed: {type(e).__name__}", flush=True)
+            print(f"# ensemble b{eb} bench failed: {type(e).__name__}",
+                  flush=True)
+            if eb == 16:
+                try:
+                    with _deadline(900):
+                        ensemble_rate = bench_ensemble(size, 8, iters)
+                except Exception as e:
+                    print(f"# ensemble b8 bench failed: {type(e).__name__}",
+                          flush=True)
 
     F.set_precision_override("fast")
     train_rate, train_size = float("nan"), None
