@@ -256,13 +256,17 @@ def bench_aux_workloads(on_tpu, iters):
     # (baseline_sample_classification.ipynb cell 28)
     try:
         from mri_epilepsy_diagnosis_tpu.models import DilatedCNN
+        from mri_epilepsy_diagnosis_tpu.train.accum import (
+            class_train_step_accum)
         if not on_tpu:
             raise RuntimeError("DilatedCNN geometry needs the 180^3 crop")
-        # b10 (the reference batch) crashes the remote compiler; b4 runs at
-        # 19.5 vol/s but compiles ~13 min cold, b2 at 16.4 with ~40 s —
-        # try b4 under a deadline, fall back to b2
+        # b10 (the reference batch, baseline_sample_classification.ipynb
+        # cell 28) crashes the remote compiler as a flat graph; scan-based
+        # gradient accumulation (micro=5) compiles the micro-batch graph
+        # once and reaches 20.0 vol/s (experiments/accum_probe.py).  Flat
+        # b4 (19.5 vol/s) and b2 remain as fallbacks.
         size = 180
-        for b, budget in ((4, 600), (2, 420)):
+        for b, micro, budget in ((10, 5, 600), (4, 0, 600), (2, 0, 420)):
             try:
                 with _deadline(budget):
                     model = DilatedCNN(input_shape=(size,) * 3)
@@ -273,11 +277,20 @@ def bench_aux_workloads(on_tpu, iters):
                         rng.normal(size=(b, size, size, size, 1)),
                         jnp.float32)
                     y = jnp.asarray(rng.integers(0, 2, b), jnp.int32)
-                    st, loss, _ = _class_step(st, x, y, key, True)
+
+                    def _one(st):
+                        if micro:
+                            st, loss, _ = class_train_step_accum(
+                                st, x, y, key, micro=micro)
+                        else:
+                            st, loss, _ = _class_step(st, x, y, key, True)
+                        return st, loss
+
+                    st, loss = _one(st)
                     float(loss)
                     t0 = time.perf_counter()
                     for _ in range(iters):
-                        st, loss, _ = _class_step(st, x, y, key, True)
+                        st, loss = _one(st)
                     float(loss)
                     out["dilated_cnn"] = (b * iters
                                           / (time.perf_counter() - t0))
