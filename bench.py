@@ -13,8 +13,9 @@ Baseline: the reference's recorded per-volume rates on GTX 1080 (BASELINE.md)
 — validation at 7.54 s/vol (0.133 vol/s) for inference, train epoch at
 4.4 s/vol (0.227 vol/s) for the train step.
 
-Extra JSON keys cover every BASELINE config: the f32 dice-loss train-step
-rate (packed layout at 192^3 — the achieved size is in `train_volume_size`),
+Extra JSON keys cover every BASELINE config: the dice-loss train-step rate
+(packed layout at 192^3, bf16 mixed precision with an f32 comparison key —
+the achieved size/dtype are in `train_volume_size`/`train_dtype`),
 the 64^3 patch-training rate, the seg+classification ensemble (north star),
 and the detection patch-CNN / DilatedCNN / AE / fader training rates.
 """
@@ -149,16 +150,23 @@ def bench_ensemble(size, batch, iters):
     return batch * iters / (time.perf_counter() - t0)
 
 
-def bench_train(state, size, iters, batch=1, packed=False):
-    """f32 dice train-step rate.  `packed=True` uses the packed-layout step
+def bench_train(state, size, iters, batch=1, packed=False,
+                dtype=jnp.float32, dec_up="explicit"):
+    """Dice train-step rate.  `packed=True` uses the packed-layout step
     (train/seg.py::packed_seg_train_step) — same numerics, and the only
-    layout whose 192^3 train graph this platform's compiler accepts."""
+    layout whose 192^3 train graph this platform's compiler accepts.
+    `dtype=bfloat16` runs mixed precision: bf16 activations/conv compute
+    with f32 master weights, optimizer and BatchNorm statistics."""
     from mri_epilepsy_diagnosis_tpu.train.seg import (packed_seg_train_step,
                                                       seg_train_step)
 
-    step = packed_seg_train_step if packed else seg_train_step
+    if packed:
+        import functools
+        step = functools.partial(packed_seg_train_step, dec_up=dec_up)
+    else:
+        step = seg_train_step
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(batch, size, size, size, 1)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(batch, size, size, size, 1)), dtype)
     y = jnp.asarray((rng.random(size=(batch, size, size, size, 1)) > 0.5),
                     jnp.float32)
     state, loss = step(state, x, y)
@@ -453,25 +461,49 @@ def main():
                           flush=True)
 
     F.set_precision_override("fast")
-    train_rate, train_size = float("nan"), None
-    # 192^3 whole-volume training runs in the packed layout at batch 1 (the
-    # reference's whole-volume batch size) — the fine graph crashes the
-    # platform's remote compiler at 192^3 with and without remat
-    # (experiments/train192_probe.py); packed b1 compiles and runs.
-    attempts = ([(192, 1, True, 600), (128, 4, True, 420), (128, 1, False, 900)]
-                if on_tpu else [(32, 1, False, 900)])
-    for ts, tb, packed, budget in attempts:
+    train_rate, train_size, train_dtype = float("nan"), None, None
+    # 192^3 whole-volume training runs in the packed layout (the fine graph
+    # crashes the platform's remote compiler at 192^3 with and without
+    # remat — experiments/train192_probe.py).  Headline: bf16 mixed
+    # precision (bf16 activations, f32 master weights/opt/BN stats), the
+    # TPU-native training mode — 5.3 vol/s at b2 vs 3.4 f32 b1 (round 3).
+    # dec_up per config from the experiments/decup_ab.py A/B: "composed"
+    # wins bf16 b2 (5.28 vs 5.00 vol/s), "explicit" wins f32 b1
+    # (3.58 vs 3.38); bf16 b1 is a wash
+    attempts = ([(192, 2, True, "bf16", "composed", 600),
+                 (192, 1, True, "bf16", "explicit", 600),
+                 (192, 1, True, "f32", "explicit", 600),
+                 (128, 4, True, "f32", "explicit", 420),
+                 (128, 1, False, "f32", "explicit", 900)]
+                if on_tpu else [(32, 1, False, "f32", "explicit", 900)])
+    for ts, tb, packed, dt, dec_up, budget in attempts:
         try:
             with _deadline(budget):
                 state = create_train_state(model, torch_adamw(1e-3),
                                            jnp.zeros((1, 16, 16, 16, 1)))
-                train_rate = bench_train(state, ts, iters, batch=tb,
-                                         packed=packed)
-            train_size = ts
+                train_rate = bench_train(
+                    state, ts, iters, batch=tb, packed=packed,
+                    dtype=jnp.bfloat16 if dt == "bf16" else jnp.float32,
+                    dec_up=dec_up)
+            train_size, train_dtype = ts, dt
             break
         except Exception as e:  # remote-compiler rejection / deadline
-            print(f"# train bench at {ts}^3 b{tb} (packed={packed}) failed: "
-                  f"{type(e).__name__}", flush=True)
+            print(f"# train bench at {ts}^3 b{tb} {dt} (packed={packed}) "
+                  f"failed: {type(e).__name__}", flush=True)
+
+    # the f32 comparison point (the reference trains f32) when the
+    # headline ran mixed-precision
+    train_f32_rate = train_rate if train_dtype == "f32" else float("nan")
+    if on_tpu and train_dtype == "bf16":
+        try:
+            with _deadline(600):
+                state = create_train_state(model, torch_adamw(1e-3),
+                                           jnp.zeros((1, 16, 16, 16, 1)))
+                train_f32_rate = bench_train(state, 192, iters, batch=1,
+                                             packed=True)
+        except Exception as e:
+            print(f"# f32 train bench failed: {type(e).__name__}",
+                  flush=True)
 
     # patch-training throughput (64^3 patches, batch 16 — the reference's
     # torchio Queue workload, pretraining_3d_unet.ipynb cell 25)
@@ -501,6 +533,8 @@ def main():
         "vs_baseline": _num(infer_vol_per_s / REFERENCE_INFER_VOL_PER_S, 1),
         "train_vol_per_s": _num(train_rate),
         "train_vs_baseline": _num(train_rate / REFERENCE_TRAIN_VOL_PER_S, 1),
+        "train_dtype": train_dtype,
+        "train_f32_vol_per_s": _num(train_f32_rate),
         "train_patches_per_s": _num(patch_rate, 1),
         "patch_vs_baseline": _num(patch_rate / REFERENCE_TRAIN_PATCHES_PER_S, 1),
         # north star: >=50 vol/s seg+clf on v5e-8 => 6.25 vol/s per chip

@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -110,11 +111,36 @@ def _apply_bn_act(y, params, stats):
     return y
 
 
+_PALLAS_EPILOGUE = os.environ.get("MRI_TPU_PALLAS_EPILOGUE", "0") == "1"
+
+
 def _block_as(xp_aligned, params, stats):
     """ConvBlock as an aligned->shifted packed conv (+BN/PReLU, then re-zero
-    the shifted pad voxels for the following s->a conv)."""
+    the shifted pad voxels for the following s->a conv).
+
+    MRI_TPU_PALLAS_EPILOGUE=1 swaps the XLA BN+PReLU+pad-mask tail for the
+    compiled Mosaic kernel `ops.pallas_kernels.bn_act_zero_pads` (inference
+    only — no VJP) for the full-graph A/B (experiments/pallas_ab.py)."""
     wp = P.pack_weights2_as(params["conv_layer"]["weight"])
     y = P.conv3_packed_as(xp_aligned, wp, params["conv_layer"].get("bias"))
+    if (_PALLAS_EPILOGUE and "norm_layer" in params
+            and "activation_layer" in params):
+        from ..ops.pallas_kernels import bn_act_zero_pads
+
+        gamma = params["norm_layer"]["weight"]
+        beta = params["norm_layer"]["bias"]
+        mean = stats["norm_layer"]["running_mean"]
+        var = stats["norm_layer"]["running_var"]
+        scale = P.tile_channel_param(gamma / jnp.sqrt(var + 1e-5))
+        shift = (P.tile_channel_param(beta)
+                 - P.tile_channel_param(mean) * scale)
+        alpha = P.tile_channel_param(
+            jnp.broadcast_to(params["activation_layer"]["weight"],
+                             (y.shape[-1] // 8,)))
+        c8 = y.shape[-1]
+        masks = [jnp.asarray(P._shifted_pad_axis_mask(a, y.shape[1 + a], c8))
+                 for a in range(3)]
+        return bn_act_zero_pads(y, scale, shift, alpha, masks)
     return P.zero_shifted_pads(_apply_bn_act(y, params, stats))
 
 
@@ -235,12 +261,23 @@ def _block_train(y, params, stats, *, shifted, fine_size, batch):
 
 
 def packed_unet_train_apply(variables, x, num_encoding_blocks: int = 3,
-                            remat: bool = False):
+                            remat: bool = False, dec_up: str = "explicit"):
     """Train-mode packed-v2 forward: fine (N,S,S,S,1) -> (packed logits
     (N,S/2,S/2,S/2,8*out_classes), new batch_stats pytree).  Matches
     `UNet3D(...).apply(..., train=True, mutable=["batch_stats"])` numerics
     (BN normalizes with the batch statistics and returns updated running
-    stats)."""
+    stats).
+
+    `dec_up` picks the decoder up-branch formulation:
+      - "explicit": `upsample2_packed` + a k=2 packed conv.  Training
+        default: the composed 5^3 kernel burns ~37x the conceptual conv
+        FLOPs, a good trade for the HBM-bound inference forward but not for
+        training, where autodiff triples it — its dw alone is the top two
+        ops of the round-3 train profile (~31 ms of a 292 ms f32 b1 step),
+        while the explicit form's dw runs through the fast qgroup path and
+        needs no face corrections (exact by construction).
+      - "composed": the inference formulation (`upconv_packed` +
+        `upconv_fix_faces`), kept for A/B."""
     params = variables["params"]
     stats = variables["batch_stats"]
     nb = num_encoding_blocks
@@ -285,8 +322,12 @@ def packed_unet_train_apply(variables, x, num_encoding_blocks: int = 3,
         w_s, w_u = w1[:, :, :, :c_skip, :], w1[:, :, :, c_skip:, :]
         y_s = P.conv3_packed_as(skip, P.pack_weights2_as(w_s),
                                 blk["conv1"]["conv_layer"].get("bias"))
-        y_u = P.upconv_packed(xp, P.pack_upconv_weights(w_u))
-        y_u = P.upconv_fix_faces(y_u, xp, w_u)
+        if dec_up == "explicit":
+            up = P.upsample2_packed(xp)
+            y_u = P.conv3_packed_as(up, P.pack_weights2_as(w_u))
+        else:
+            y_u = P.upconv_packed(xp, P.pack_upconv_weights(w_u))
+            y_u = P.upconv_fix_faces(y_u, xp, w_u)
         y, ns1 = _block_train(y_s + y_u, blk["conv1"], bst.get("conv1", {}),
                               shifted=True, fine_size=s, batch=n)
         out, ns2 = _block_train(conv_sa(y, blk["conv2"]), blk["conv2"],

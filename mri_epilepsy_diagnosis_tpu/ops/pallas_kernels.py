@@ -63,15 +63,40 @@ def _conv_axis_kernel(x_ref, w_ref, out_ref, *, k, stride, pad, w_in, w_out):
 
 
 def conv_axis_last(x2, w, *, stride: int = 1, pad: int = 0,
-                   tile_m: int = 256, interpret: bool = False):
+                   tile_m: int = 256, interpret: bool = False,
+                   max_taps: int = 0):
     """Conv along axis -2 of x2: (M, W, Ci) with w (k, Ci, Co).
 
     Returns (M, W_out, Co).  M is padded to a tile multiple internally.
+
+    `max_taps > 0` splits the k taps into chunks of that many per
+    `pallas_call`, summing the partial outputs in XLA — the compiled-path
+    workaround for this toolchain's Mosaic, which crashes on kernels with
+    >= 3 overlapping-window dots (see module docstring): `max_taps=2` turns
+    the fader k=6 conv into three compiled two-dot kernels.
     """
     m, w_in, ci = x2.shape
     k, ci2, co = w.shape
     assert ci == ci2, (ci, ci2)
     w_out = (w_in + 2 * pad - k) // stride + 1
+
+    if max_taps and k > max_taps:
+        # y[j] = sum_t xp[j*s + t] w[t]: each tap chunk is a VALID conv of
+        # the padded input shifted by the chunk's first tap
+        xp = x2
+        if pad:
+            xp = jnp.concatenate(
+                [jnp.zeros((m, pad, ci), x2.dtype), x2,
+                 jnp.zeros((m, pad, ci), x2.dtype)], axis=1)
+        total = None
+        for t0 in range(0, k, max_taps):
+            kk = min(max_taps, k - t0)
+            need = (w_out - 1) * stride + kk
+            part = conv_axis_last(xp[:, t0:t0 + need, :], w[t0:t0 + kk],
+                                  stride=stride, pad=0, tile_m=tile_m,
+                                  interpret=interpret)
+            total = part if total is None else total + part
+        return total
 
     tile_m = min(tile_m, max(8, m))
     m_pad = (-m) % tile_m
@@ -99,13 +124,14 @@ def conv_axis_last(x2, w, *, stride: int = 1, pad: int = 0,
 
 
 def conv_one_axis(x, w, axis: int, *, stride: int = 1, pad: int = 0,
-                  bias=None, interpret: bool = False):
+                  bias=None, interpret: bool = False, max_taps: int = 0):
     """One-axis conv on channels-last (N, D, H, W, C) along spatial `axis`
     (1, 2 or 3).  w: (k, Ci, Co)."""
     x_moved = jnp.moveaxis(x, axis, 3)        # conv axis -> W position
     n, a, b, wlen, ci = x_moved.shape
     x2 = x_moved.reshape(n * a * b, wlen, ci)
-    y2 = conv_axis_last(x2, w, stride=stride, pad=pad, interpret=interpret)
+    y2 = conv_axis_last(x2, w, stride=stride, pad=pad, interpret=interpret,
+                        max_taps=max_taps)
     w_out, co = y2.shape[1], y2.shape[2]
     y = y2.reshape(n, a, b, w_out, co)
     y = jnp.moveaxis(y, 3, axis)
@@ -115,17 +141,80 @@ def conv_one_axis(x, w, axis: int, *, stride: int = 1, pad: int = 0,
 
 
 def separable_conv3d(x, wx, wy, wz, *, stride=(1, 1, 1), pad=(0, 0, 0),
-                     biases=(None, None, None), interpret: bool = False):
+                     biases=(None, None, None), interpret: bool = False,
+                     max_taps: int = 0):
     """The fader DownBlock conv stack: (k,1,1) then (1,k,1) then (1,1,k),
     each with per-axis stride/pad, as three Pallas one-axis convs.
 
     wx: (k, Ci, C), wy: (k, C, C), wz: (k, C, C) — torch weights
-    (O,I,k,1,1)-style collapsed to (k, I, O).
+    (O,I,k,1,1)-style collapsed to (k, I, O).  `max_taps=2` is the
+    compiled-path mode on this toolchain (see `conv_axis_last`).
     """
     y = conv_one_axis(x, wx, 1, stride=stride[0], pad=pad[0],
-                      bias=biases[0], interpret=interpret)
+                      bias=biases[0], interpret=interpret, max_taps=max_taps)
     y = conv_one_axis(y, wy, 2, stride=stride[1], pad=pad[1],
-                      bias=biases[1], interpret=interpret)
+                      bias=biases[1], interpret=interpret, max_taps=max_taps)
     y = conv_one_axis(y, wz, 3, stride=stride[2], pad=pad[2],
-                      bias=biases[2], interpret=interpret)
+                      bias=biases[2], interpret=interpret, max_taps=max_taps)
     return y
+
+
+# ---------------------------------------------------------------------------
+# fused BN + PReLU/LeakyReLU + shifted-pad-zeroing epilogue
+#
+# The elementwise tail of every packed ConvBlock (`models/unet_packed.py`
+# `_block_as`): folded-BN affine, PReLU, and the `zero_shifted_pads` boundary
+# masks, in one VMEM pass.  Zero dots and 128-lane channel tiles — inside
+# this toolchain's known-good Mosaic envelope.  Exists to A/B against XLA's
+# own fusion of the same chain (which this kernel has to beat to ship —
+# see experiments/pallas_ab.py).
+# ---------------------------------------------------------------------------
+
+
+def _bn_act_pads_kernel(x_ref, scale_ref, shift_ref, alpha_ref, md_ref,
+                        mh_ref, mw_ref, out_ref):
+    x = x_ref[...]                                  # (1, H, W, C8)
+    y = x * scale_ref[...] + shift_ref[...]         # folded BN affine
+    y = jnp.where(y >= 0, y, y * alpha_ref[...])    # PReLU / LeakyReLU
+    m = (md_ref[...][0][None, None, None, :]        # (1, C8) row for this d
+         * mh_ref[...][None, :, None, :]
+         * mw_ref[...][None, None, :, :])
+    out_ref[...] = (y * m).astype(out_ref.dtype)
+
+
+def bn_act_zero_pads(xs, scale, shift, alpha, masks, *,
+                     interpret: bool = False):
+    """Fused `prelu(batch_norm(xs)) * pad_masks` on a SHIFTED packed tensor.
+
+    xs: (N, D, H, W, C8); scale/shift: folded BN affine (C8,)
+    (gamma/sqrt(var+eps), beta - mean*scale); alpha: PReLU slope
+    broadcastable to (C8,); masks: the three per-axis
+    `ops.packed._shifted_pad_axis_mask` arrays ((D, C8), (H, C8), (W, C8)).
+    Grid: one program per (n, d) plane."""
+    n, d, h, w, c8 = xs.shape
+    md, mh, mw = masks
+    c = jnp.broadcast_to
+    out = pl.pallas_call(
+        _bn_act_pads_kernel,
+        out_shape=jax.ShapeDtypeStruct(xs.shape, xs.dtype),
+        grid=(n, d),
+        in_specs=[
+            pl.BlockSpec((1, 1, h, w, c8), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c8,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c8,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c8,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c8), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, c8), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, c8), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, h, w, c8), lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xs, c(scale, (c8,)).astype(xs.dtype), c(shift, (c8,)).astype(xs.dtype),
+      c(alpha, (c8,)).astype(xs.dtype), md.astype(xs.dtype),
+      mh.astype(xs.dtype), mw.astype(xs.dtype))
+    return out

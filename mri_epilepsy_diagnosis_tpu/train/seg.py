@@ -75,9 +75,9 @@ def seg_train_step(state: TrainState, inputs, raw_labels):
     return state, loss
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3, 4))
 def _packed_seg_train_step(state: TrainState, inputs, raw_labels,
-                           remat: bool):
+                           remat: bool, dec_up: str = "explicit"):
     from ..models.unet_packed import packed_dice_loss, packed_unet_train_apply
 
     targets = binarize_segmentation(raw_labels)
@@ -85,7 +85,7 @@ def _packed_seg_train_step(state: TrainState, inputs, raw_labels,
     def loss_fn(params):
         logits_p, bs = packed_unet_train_apply(
             {"params": params, "batch_stats": state.batch_stats}, inputs,
-            remat=remat)
+            remat=remat, dec_up=dec_up)
         return packed_dice_loss(logits_p, targets), bs
 
     (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -94,7 +94,7 @@ def _packed_seg_train_step(state: TrainState, inputs, raw_labels,
 
 
 def packed_seg_train_step(state: TrainState, inputs, raw_labels,
-                          remat: bool = False):
+                          remat: bool = False, dec_up: str = "explicit"):
     """`seg_train_step` in the packed (space-to-depth) execution layout
     (models/unet_packed.py) — same numerics (exact fine-equivalent BatchNorm
     batch statistics, dice over the sub-position-folded voxel set), but the
@@ -103,8 +103,10 @@ def packed_seg_train_step(state: TrainState, inputs, raw_labels,
     graph this platform's remote compiler accepts (fine + fine-remat both
     crash it — experiments/train192_probe.py).  UNet3D (ocfl-any, nb=3)
     only.  `remat=True` additionally rematerializes each two-conv block in
-    the backward (smaller live set for batch >= 2 whole volumes)."""
-    return _packed_seg_train_step(state, inputs, raw_labels, remat)
+    the backward (smaller live set for batch >= 2 whole volumes).  `dec_up`
+    picks the decoder up-branch formulation (see
+    `packed_unet_train_apply`); "explicit" is the training default."""
+    return _packed_seg_train_step(state, inputs, raw_labels, remat, dec_up)
 
 
 @jax.jit

@@ -212,6 +212,30 @@ def test_packed_train_apply_matches_unet3d(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_packed_train_dec_up_modes_match(rng):
+    """The decoder's two up-branch formulations ("explicit" upsample+conv
+    vs the "composed" 5^3 transposed conv + face fixes) are the same
+    function: logits and batch stats must agree to contraction noise."""
+    from mri_epilepsy_diagnosis_tpu.models import UNet3D
+    from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
+        packed_unet_train_apply)
+
+    size = 16
+    model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
+                   out_channels_first_layer=4)
+    v = _trained_variables(model, rng, size)
+    x = jnp.asarray(rng.normal(size=(2, size, size, size, 1)), jnp.float32)
+
+    le, bse = packed_unet_train_apply(v, x, dec_up="explicit")
+    lc, bsc = packed_unet_train_apply(v, x, dec_up="composed")
+    np.testing.assert_allclose(np.asarray(le), np.asarray(lc),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(bse),
+                    jax.tree_util.tree_leaves(bsc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_packed_train_step_matches_fine(rng):
     """One full optimizer step (loss, grads through packed convs/BN/dice)
     must track the fine `seg_train_step`."""

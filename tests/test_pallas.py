@@ -31,6 +31,44 @@ def test_conv_one_axis_matches_xla(rng, axis, stride, pad, k):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_conv_one_axis_tap_split_matches(rng):
+    """max_taps=2 (the compiled-path Mosaic workaround: three two-dot
+    kernels for k=6) must match the single-kernel result exactly."""
+    x = jnp.asarray(rng.normal(size=(2, 8, 6, 20, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(6, 4, 8)).astype(np.float32))
+    ref = conv_one_axis(x, w, 3, stride=2, pad=2, interpret=True)
+    got = conv_one_axis(x, w, 3, stride=2, pad=2, interpret=True, max_taps=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_bn_act_zero_pads_matches_composition(rng):
+    """Fused epilogue == zero_shifted_pads(prelu(batch_norm(x)))."""
+    from mri_epilepsy_diagnosis_tpu.ops import packed as P
+    from mri_epilepsy_diagnosis_tpu.ops.pallas_kernels import bn_act_zero_pads
+
+    c = 4
+    c8 = 8 * c
+    xs = jnp.asarray(rng.normal(size=(2, 5, 5, 5, c8)).astype(np.float32))
+    mean = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    var = jnp.asarray(rng.random(size=(c,)).astype(np.float32) + 0.5)
+    gamma = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    alpha = jnp.asarray(rng.random(size=(c,)).astype(np.float32) * 0.3)
+
+    ref = P.zero_shifted_pads(F.prelu(
+        P.batch_norm_packed(xs, mean, var, gamma, beta),
+        P.tile_channel_param(alpha)))
+
+    scale = P.tile_channel_param(gamma / jnp.sqrt(var + 1e-5))
+    shift = P.tile_channel_param(beta) - P.tile_channel_param(mean) * scale
+    masks = [jnp.asarray(P._shifted_pad_axis_mask(a, xs.shape[1 + a], c8))
+             for a in range(3)]
+    got = bn_act_zero_pads(xs, scale, shift, P.tile_channel_param(alpha),
+                           masks, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_separable_stack_matches_xla(rng):
     wx = rng.normal(size=(6, 1, 8)).astype(np.float32)
     wy = rng.normal(size=(6, 8, 8)).astype(np.float32)

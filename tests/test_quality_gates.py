@@ -73,6 +73,42 @@ def test_unet_reaches_dice_095_on_blobs():
     assert best >= 0.95, f"whole-volume dice only reached {best:.4f}"
 
 
+def test_packed_bf16_train_reaches_dice_095_on_blobs():
+    """Mixed-precision quality gate: the packed train step with bf16
+    activations (f32 master weights/opt/BN stats — the TPU production
+    training mode, bench.py `train_dtype=bf16`) must reach the same
+    whole-volume Dice >= 0.95 as the f32 gate above."""
+    from mri_epilepsy_diagnosis_tpu.train.seg import packed_seg_train_step
+
+    seg = SyntheticVolumes(n=4, img_shape=(24,) * 3,
+                           kind="blobs").as_segmentation()
+    xs = jnp.asarray(np.stack([seg[i][0].transpose(1, 2, 3, 0)
+                               for i in range(len(seg))]))
+    ys = jnp.asarray(np.stack([seg[i][1].transpose(1, 2, 3, 0)
+                               for i in range(len(seg))]), jnp.float32)
+    model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
+                   out_channels_first_layer=8)
+    state = create_train_state(model, torch_adamw(3e-3),
+                               jnp.zeros((1, 8, 8, 8, 1)))
+    fwd = jax.jit(lambda v, x: jnp.argmax(
+        model.apply(v, x, train=False), axis=-1))
+
+    best = 0.0
+    for epoch in range(25):
+        for lo in range(0, len(seg), 2):
+            state, loss = packed_seg_train_step(
+                state, xs[lo:lo + 2].astype(jnp.bfloat16), ys[lo:lo + 2])
+        assert np.isfinite(float(loss))
+        pred = np.asarray(fwd(state.variables, xs)).astype(np.uint8)
+        dices = [compute_dice_coefficient(
+            np.asarray(ys[i, ..., 0]).astype(np.uint8), pred[i])
+            for i in range(len(seg))]
+        best = max(best, float(np.mean(dices)))
+        if best >= 0.95:
+            break
+    assert best >= 0.95, f"bf16 whole-volume dice only reached {best:.4f}"
+
+
 def test_fader_domain_confusion_while_clf_holds():
     """Adversarial gate: with lambda=0 the discriminator learns the domain
     (acc >= 0.6 vs chance 1/3) and the classifier its task (acc >= 0.9);
