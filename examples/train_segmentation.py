@@ -43,6 +43,10 @@ def main():
                    help="train in the packed (space-to-depth) execution "
                         "layout — required for 192^3 whole volumes on this "
                         "platform and ~3x faster (UNet nb=3)")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision training: bf16 activations, f32 "
+                        "master weights/optimizer/BN stats (~1.5x the f32 "
+                        "192^3 step rate; needs --packed)")
     p.add_argument("--resilient", action="store_true",
                    help="auto-resume + NaN rollback + preemption-safe "
                         "checkpointing (train/resilience.py)")
@@ -82,6 +86,10 @@ def main():
     packed_mode = args.packed
     if args.packed and not args.patches and args.batch_size >= 2:
         packed_mode = "remat"
+    input_dtype = jnp.bfloat16 if args.bf16 else None
+    if args.bf16 and not args.packed:
+        raise SystemExit("--bf16 requires --packed (the fine-layout bf16 "
+                         "graph is untested on this platform's compiler)")
 
     if args.resilient:
         from mri_epilepsy_diagnosis_tpu.train.resilience import (
@@ -89,11 +97,13 @@ def main():
         manager = CheckpointManager("weights", stem=args.weights_stem)
         state, train_losses, val_losses, _ = train_segmentation_resilient(
             args.epochs, train_loader, val_loader, state, scheduler,
-            manager, experiment=experiment, packed=packed_mode)
+            manager, experiment=experiment, packed=packed_mode,
+            input_dtype=input_dtype)
     else:
         state, train_losses, val_losses = train_segmentation(
             args.epochs, train_loader, val_loader, state, scheduler,
-            args.weights_stem, experiment=experiment, packed=packed_mode)
+            args.weights_stem, experiment=experiment, packed=packed_mode,
+            input_dtype=input_dtype)
 
     dsc, asd_mean, _, iou = validate_dsc_asd(state, val_loader,
                                              packed=packed_mode)

@@ -59,7 +59,7 @@ enable_compilation_cache()
 mode = sys.argv[1]
 # fader encoder conv1_x: k=6 stride 2 pad 2 along D, Ci=1 -> 8 @ 192^3 b4
 rng = np.random.default_rng(0)
-for (b, s, ci, co) in ((4, 192, 1, 8), (4, 96, 8, 16)):
+for (b, s, ci, co) in ((4, 192, 1, 8), (4, 96, 8, 16), (2, 96, 128, 128)):
     x = jnp.asarray(rng.normal(size=(b, s, s, s, ci)), jnp.bfloat16)
     w = jnp.asarray(rng.normal(size=(6, ci, co)), jnp.bfloat16)
     if mode == "pallas":
@@ -89,7 +89,7 @@ def run(tag, code, env_extra=None, args=()):
     p = subprocess.run([sys.executable, "-c", code, *args], env=env,
                        capture_output=True, text=True, timeout=3600)
     out = (p.stdout + p.stderr).strip().splitlines()
-    for ln in out[-6:]:
+    for ln in out[-14:]:
         print(ln, flush=True)
     if p.returncode != 0:
         print(f"{tag} FAILED rc={p.returncode}", flush=True)

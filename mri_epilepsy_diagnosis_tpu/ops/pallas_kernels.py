@@ -37,13 +37,17 @@ from jax.experimental.pallas import tpu as pltpu
 def _conv_axis_kernel(x_ref, w_ref, out_ref, *, k, stride, pad, w_in, w_out):
     x = x_ref[...]                    # (TILE_M, W, Ci)
     tile_m, _, ci = x.shape
-    co = w_ref.shape[-1]
     if pad:
         zeros = jnp.zeros((tile_m, pad, ci), x.dtype)
         x = jnp.concatenate([zeros, x, zeros], axis=1)
-    # im2col: k shifted views along the conv axis -> (TILE_M, W_out, k*Ci).
-    # Mosaic only supports 2D gathers, so strided views go through a
-    # (W/s, s) reshape + parity index instead of a strided slice.
+    # k shifted views along the conv axis, one dot per tap, summed.  (The
+    # earlier minor-dim im2col concat — one (TILE_M*W_out, k*Ci) dot —
+    # crashes this toolchain's Mosaic for thin channels: "result/input
+    # offset mismatch on non-concat dimension".  Per-tap dots keep the
+    # kernel inside the known-good envelope; cap dots with
+    # `conv_axis_last(max_taps=...)`.)  Strided views go through a
+    # (W/s, s) reshape + parity index instead of a strided slice (Mosaic
+    # supports only 2D gathers).
     if stride == 1:
         views = [x[:, t:t + w_out, :] for t in range(k)]
     else:
@@ -55,11 +59,12 @@ def _conv_axis_kernel(x_ref, w_ref, out_ref, *, k, stride, pad, w_in, w_out):
         xr = x.reshape(tile_m, x.shape[1] // stride, stride, ci)
         views = [xr[:, t // stride:t // stride + w_out, t % stride, :]
                  for t in range(k)]
-    xcat = jnp.concatenate(views, axis=-1)
-    xmat = xcat.reshape(tile_m * w_out, k * ci)
-    wmat = w_ref[...].reshape(k * ci, co)
-    y = jnp.dot(xmat, wmat, preferred_element_type=jnp.float32)
-    out_ref[...] = y.reshape(tile_m, w_out, co).astype(out_ref.dtype)
+    y = None
+    for t in range(k):
+        part = jnp.dot(views[t].reshape(tile_m * w_out, ci), w_ref[t],
+                       preferred_element_type=jnp.float32)
+        y = part if y is None else y + part
+    out_ref[...] = y.reshape(tile_m, w_out, -1).astype(out_ref.dtype)
 
 
 def conv_axis_last(x2, w, *, stride: int = 1, pad: int = 0,
@@ -173,12 +178,19 @@ def separable_conv3d(x, wx, wy, wz, *, stride=(1, 1, 1), pad=(0, 0, 0),
 
 def _bn_act_pads_kernel(x_ref, scale_ref, shift_ref, alpha_ref, md_ref,
                         mh_ref, mw_ref, out_ref):
-    x = x_ref[...]                                  # (1, H, W, C8)
-    y = x * scale_ref[...] + shift_ref[...]         # folded BN affine
-    y = jnp.where(y >= 0, y, y * alpha_ref[...])    # PReLU / LeakyReLU
-    m = (md_ref[...][0][None, None, None, :]        # (1, C8) row for this d
-         * mh_ref[...][None, :, None, :]
-         * mw_ref[...][None, None, :, :])
+    # compute in f32: this target's Mosaic rejects bf16 vector compares
+    # ("Target does not support this comparison")
+    x = x_ref[...].astype(jnp.float32)              # (1, 1, H, W, C8)
+    y = (x * scale_ref[...].astype(jnp.float32)     # folded BN affine
+         + shift_ref[...].astype(jnp.float32))
+    y = jnp.where(y >= 0, y,                        # PReLU / LeakyReLU
+                  y * alpha_ref[...].astype(jnp.float32))
+    # md is staged (D, 1, C8) so its per-program block (1, 1, C8) has legal
+    # last-two block dims (a (1, C8) row of a (D, C8) array violates
+    # Mosaic's (8, 128) tile rule)
+    m = (md_ref[...][0].astype(jnp.float32)         # (1, C8) -> broadcasts
+         * mh_ref[...].astype(jnp.float32)[None, :, None, :]
+         * mw_ref[...].astype(jnp.float32)[None, None, :, :])
     out_ref[...] = (y * m).astype(out_ref.dtype)
 
 
@@ -204,7 +216,7 @@ def bn_act_zero_pads(xs, scale, shift, alpha, masks, *,
             pl.BlockSpec((c8,), lambda i, j: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((c8,), lambda i, j: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((c8,), lambda i, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c8), lambda i, j: (j, 0),
+            pl.BlockSpec((1, 1, c8), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((h, c8), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -215,6 +227,7 @@ def bn_act_zero_pads(xs, scale, shift, alpha, masks, *,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xs, c(scale, (c8,)).astype(xs.dtype), c(shift, (c8,)).astype(xs.dtype),
-      c(alpha, (c8,)).astype(xs.dtype), md.astype(xs.dtype),
+      c(alpha, (c8,)).astype(xs.dtype),
+      jnp.asarray(md, xs.dtype)[:, None, :],
       mh.astype(xs.dtype), mw.astype(xs.dtype))
     return out

@@ -115,7 +115,7 @@ def train_segmentation_resilient(
         state: TrainState, scheduler: Optional[ReduceLROnPlateau],
         manager: CheckpointManager, experiment=None, verbose: bool = True,
         sharding=None, packed: bool = False, max_failures: int = 3,
-        dashboard=None):
+        dashboard=None, input_dtype=None):
     """`train_segmentation` in elastic mode (see module docstring).
 
     Returns (state, train losses, val losses, completed_epoch); rerun the
@@ -128,4 +128,4 @@ def train_segmentation_resilient(
         num_epochs, training_loader, validation_loader, state, scheduler,
         weights_stem="", save_epoch=1, experiment=experiment, verbose=verbose,
         weights_dir="", sharding=sharding, dashboard=dashboard, packed=packed,
-        manager=manager, max_failures=max_failures)
+        manager=manager, max_failures=max_failures, input_dtype=input_dtype)

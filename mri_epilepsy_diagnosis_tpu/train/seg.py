@@ -129,7 +129,7 @@ def packed_seg_eval_step(state: TrainState, inputs, raw_labels):
 
 def run_epoch(epoch_idx: int, action: Action, loader, state: TrainState,
               scheduler=None, experiment=None, prefetch: int = 2,
-              sharding=None, packed: bool = False):
+              sharding=None, packed: bool = False, input_dtype=None):
     """One pass; returns (state, np.array of batch losses).
 
     Host batch prep is overlapped with device compute by staging `prefetch`
@@ -139,7 +139,11 @@ def run_epoch(epoch_idx: int, action: Action, loader, state: TrainState,
     (space-to-depth) execution layout — required for 192^3 whole-volume
     training on this platform and ~3x faster (UNet3D nb=3 only);
     `packed="remat"` additionally rematerializes each two-conv block in the
-    backward (required to compile 192^3 whole-volume batches >= 2)."""
+    backward (required to compile 192^3 whole-volume batches >= 2).
+    `input_dtype=jnp.bfloat16` trains mixed precision: bf16 activations and
+    conv compute with f32 master weights/optimizer/BatchNorm statistics —
+    the TPU production mode, ~1.5x the f32 step rate at 192^3 (quality gate:
+    tests/test_quality_gates.py::test_packed_bf16_train_reaches_dice_095...)."""
     from ..data.pipeline import prefetch_to_device
 
     train_step = (functools.partial(packed_seg_train_step,
@@ -153,6 +157,8 @@ def run_epoch(epoch_idx: int, action: Action, loader, state: TrainState,
                if prefetch > 0 else loader)
     for batch in batches:
         inputs = jnp.asarray(batch[0])
+        if input_dtype is not None:
+            inputs = inputs.astype(input_dtype)
         targets = jnp.asarray(batch[1])
         if is_training:
             state, loss = train_step(state, inputs, targets)
@@ -173,7 +179,7 @@ def train_segmentation(num_epochs: int, training_loader, validation_loader,
                        experiment=None, verbose: bool = True,
                        weights_dir: str = "weights", sharding=None,
                        dashboard=None, packed: bool = False, manager=None,
-                       max_failures: int = 3):
+                       max_failures: int = 3, input_dtype=None):
     """`sharding` (optional NamedSharding) places every prefetched batch on a
     device mesh — data/spatial-parallel training over `core.mesh.create_mesh`
     with the same loop.  `packed=True` routes train steps through the packed
@@ -187,14 +193,14 @@ def train_segmentation(num_epochs: int, training_loader, validation_loader,
     state, tr, va, _ = _train_loop(
         num_epochs, training_loader, validation_loader, state, scheduler,
         weights_stem, save_epoch, experiment, verbose, weights_dir, sharding,
-        dashboard, packed, manager, max_failures)
+        dashboard, packed, manager, max_failures, input_dtype)
     return state, tr, va
 
 
 def _train_loop(num_epochs, training_loader, validation_loader, state,
                 scheduler, weights_stem, save_epoch, experiment, verbose,
                 weights_dir, sharding, dashboard, packed, manager,
-                max_failures):
+                max_failures, input_dtype=None):
     """The single epoch driver behind `train_segmentation` and
     `train_segmentation_resilient`; returns (state, train_losses,
     val_losses, last_completed_epoch)."""
@@ -237,7 +243,7 @@ def _train_loop(num_epochs, training_loader, validation_loader, state,
         if start_epoch == 0:  # the reference's initial VALIDATE epoch
             state, _ = run_epoch(0, Action.VALIDATE, validation_loader, state,
                                  scheduler, experiment, sharding=sharding,
-                                 packed=packed)
+                                 packed=packed, input_dtype=input_dtype)
             _save(state, 0)
 
         epoch_idx = start_epoch
@@ -245,11 +251,12 @@ def _train_loop(num_epochs, training_loader, validation_loader, state,
             epoch_idx += 1
             state, tr = run_epoch(epoch_idx, Action.TRAIN, training_loader,
                                   state, scheduler, experiment,
-                                  sharding=sharding, packed=packed)
+                                  sharding=sharding, packed=packed,
+                                  input_dtype=input_dtype)
             state, va = run_epoch(epoch_idx, Action.VALIDATE,
                                   validation_loader, state, scheduler,
                                   experiment, sharding=sharding,
-                                  packed=packed)
+                                  packed=packed, input_dtype=input_dtype)
             if manager is not None and not (np.all(np.isfinite(tr))
                                             and np.all(np.isfinite(va))):
                 failures += 1

@@ -94,11 +94,15 @@ def test_packed_accum_micro1_matches_manual_average(rng):
         s2, l2 = packed_seg_train_step_accum(s2, x, y, micro=1)
         np.testing.assert_allclose(float(l2), lsum / 2.0,
                                    rtol=1e-5, atol=1e-6)
-        # scan-vs-inline fusion rounding through Adam (see test above)
+        # scan-vs-inline fusion rounding through Adam (see test above).
+        # atol: near-zero grad elements (PReLU slopes) get lr-scale kicks
+        # from Adam's g/sqrt(v) normalization of DEFAULT-precision
+        # (bf16-level, even on CPU) rounding noise — observed up to ~3e-4
+        # with the explicit-upsample decoder graph.
         for a, b in zip(jax.tree_util.tree_leaves(s2.params),
                         jax.tree_util.tree_leaves(expected_state.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=5e-3, atol=2e-4)
+                                       rtol=5e-3, atol=5e-4)
         for a, b in zip(jax.tree_util.tree_leaves(s2.batch_stats),
                         jax.tree_util.tree_leaves(expected_state.batch_stats)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
