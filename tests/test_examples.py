@@ -43,6 +43,14 @@ def test_train_segmentation_packed_resilient(tmp_path):
     assert (tmp_path / "weights" / "smokep_epoch_1.ckpt").exists()
 
 
+def test_train_segmentation_packed_bf16(tmp_path):
+    out = _run(tmp_path, "train_segmentation.py", "--synthetic", "--packed",
+               "--bf16", "--epochs", 1, "--img-size", 16, "--ocfl", 4,
+               "--batch-size", 4, "--weights-stem", "smokeb")
+    assert "mean DSC" in out
+    assert (tmp_path / "weights" / "smokeb_epoch_1.ckpt").exists()
+
+
 def test_train_segmentation_patches(tmp_path):
     out = _run(tmp_path, "train_segmentation.py", "--synthetic", "--patches",
                "--epochs", 1, "--img-size", 16, "--ocfl", 4,
