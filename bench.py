@@ -467,11 +467,12 @@ def main():
     # remat — experiments/train192_probe.py).  Headline: bf16 mixed
     # precision (bf16 activations, f32 master weights/opt/BN stats), the
     # TPU-native training mode — 5.3 vol/s at b2 vs 3.4 f32 b1 (round 3).
-    # dec_up per config from the experiments/decup_ab.py A/B: "composed"
-    # wins bf16 b2 (5.28 vs 5.00 vol/s), "explicit" wins f32 b1
-    # (3.58 vs 3.38); bf16 b1 is a wash
+    # dec_up per config from the experiments/decup_ab.py A/B (r3):
+    # "composed" wins bf16 b2 (5.28 vs 5.11 hybrid vs 5.00 explicit vol/s),
+    # "hybrid" wins bf16 b1 (5.20 vs 5.08/5.05), "explicit" wins f32 b1
+    # (3.58 vs 3.38 composed / 3.35 hybrid)
     attempts = ([(192, 2, True, "bf16", "composed", 600),
-                 (192, 1, True, "bf16", "explicit", 600),
+                 (192, 1, True, "bf16", "hybrid", 600),
                  (192, 1, True, "f32", "explicit", 600),
                  (128, 4, True, "f32", "explicit", 420),
                  (128, 1, False, "f32", "explicit", 900)]

@@ -1,7 +1,8 @@
 """A/B: decoder up-branch formulation in the packed 192^3 train step
-(dec_up "explicit" vs "composed") across dtype/batch.  Round-3 verdicts:
-f32 b1 explicit 3.58 vs composed 3.38 vol/s; bf16 b1 5.08 vs 5.05 (wash);
-bf16 b2 explicit 5.00 vs composed 5.28 -- bench pins composed for bf16 b2."""
+(dec_up "explicit" vs "composed" vs "hybrid") across dtype/batch.  Round-3
+verdicts: f32 b1 explicit 3.58 > composed 3.38 > hybrid 3.35 vol/s; bf16 b1
+hybrid 5.20 > explicit 5.08 > composed 5.05; bf16 b2 composed 5.28 >
+hybrid 5.11 > explicit 5.00 -- bench pins the per-config winners."""
 import sys, time
 import numpy as np, jax, jax.numpy as jnp
 sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
@@ -16,7 +17,7 @@ F.set_precision_override("fast")
 rng = np.random.default_rng(0)
 model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3, out_channels_first_layer=8)
 for dt, b in ((jnp.float32, 1), (jnp.bfloat16, 1), (jnp.bfloat16, 2)):
-    for mode in ("explicit", "composed"):
+    for mode in ("explicit", "composed", "hybrid"):
         state = create_train_state(model, torch_adamw(1e-3), jnp.zeros((1, 16, 16, 16, 1)))
         x = jnp.asarray(rng.normal(size=(b, 192, 192, 192, 1)), dt)
         y = jnp.asarray(rng.random((b, 192, 192, 192, 1)) > 0.5, jnp.float32)

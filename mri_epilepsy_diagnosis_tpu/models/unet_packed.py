@@ -277,7 +277,10 @@ def packed_unet_train_apply(variables, x, num_encoding_blocks: int = 3,
         while the explicit form's dw runs through the fast qgroup path and
         needs no face corrections (exact by construction).
       - "composed": the inference formulation (`upconv_packed` +
-        `upconv_fix_faces`), kept for A/B."""
+        `upconv_fix_faces`), kept for A/B.
+      - "hybrid": composed forward with the hand-rolled VJP of
+        `ops.packed.upconv_core_hybrid` (qgroup dw over the upsampled
+        input instead of XLA's dense 5^3 kernel gradient)."""
     params = variables["params"]
     stats = variables["batch_stats"]
     nb = num_encoding_blocks
@@ -325,6 +328,10 @@ def packed_unet_train_apply(variables, x, num_encoding_blocks: int = 3,
         if dec_up == "explicit":
             up = P.upsample2_packed(xp)
             y_u = P.conv3_packed_as(up, P.pack_weights2_as(w_u))
+        elif dec_up == "hybrid":
+            # composed forward, qgroup-dw backward (see upconv_core_hybrid)
+            y_u = P.upconv_core_hybrid(xp, w_u)
+            y_u = P.upconv_fix_faces(y_u, xp, w_u)
         else:
             y_u = P.upconv_packed(xp, P.pack_upconv_weights(w_u))
             y_u = P.upconv_fix_faces(y_u, xp, w_u)

@@ -786,6 +786,59 @@ def upconv_fix_faces(ys, x_aligned, w_u):
     return ys
 
 
+def _unpack_weights2_as_transpose(dwp, ci, co):
+    """Adjoint of `pack_weights2_as`: packed-kernel cotangent
+    (2,2,2,8Ci,8Co) -> fine (3,3,3,Ci,Co)."""
+    a = jnp.asarray(_axis_table_as(), dwp.dtype)
+    d6 = dwp.reshape(2, 2, 2, 2, 2, 2, ci, 2, 2, 2, co)
+    # indices: (p_d,p_h,p_w, q_d,q_h,q_w, ci, r_d,r_h,r_w, co)
+    return jnp.einsum("adef,bghi,cjkl,dgjehkmfiln->abcmn", a, a, a, d6)
+
+
+@jax.custom_vjp
+def upconv_core_hybrid(x_aligned, w_u):
+    """Composed upsample+conv (`upconv_packed` over `pack_upconv_weights`)
+    with a hand-rolled VJP.
+
+    CONTRACT: only valid beneath `upconv_fix_faces` — the dw rule assumes
+    the incoming cotangent is zero on the six face-plane entries (which
+    fix_faces' keep-mask multiply guarantees).  There the composed forward
+    equals the conceptual fine conv over the clamped upsample, so dw is
+    computed as the cheap qgroup dw on `upsample2_packed(x)` instead of
+    XLA's dense (5,5,5,8Ci,8Co) kernel gradient — the top-two ops of the
+    bf16 b2 192^3 train profile (~38 ms of a 375 ms step, round 3)."""
+    return upconv_packed(x_aligned, pack_upconv_weights(w_u))
+
+
+def _upconv_hybrid_fwd(x_aligned, w_u):
+    return upconv_core_hybrid(x_aligned, w_u), (x_aligned, w_u)
+
+
+def _upconv_hybrid_bwd(res, g):
+    x, w_u = res
+    wk = pack_upconv_weights(w_u)
+
+    def _core_from_x(xx):
+        return lax.conv_general_dilated(
+            edge_pad_cells(xx), wk.astype(xx.dtype),
+            window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+            lhs_dilation=(2, 2, 2), dimension_numbers=F.CONV3D_DIMS,
+            preferred_element_type=F._preferred_for(xx, jnp.float32),
+            precision=F._precision_for(xx.dtype)).astype(xx.dtype)
+
+    (dx,) = jax.linear_transpose(
+        _core_from_x, jax.ShapeDtypeStruct(x.shape, x.dtype))(g)
+    up = upsample2_packed(x)
+    up_pad = jnp.pad(up, ((0, 0),) + ((1, 1),) * 3 + ((0, 0),))
+    dwp = _dw_packed_qgroup(up_pad, g)
+    ci, co = w_u.shape[3], w_u.shape[4]
+    dw_u = _unpack_weights2_as_transpose(dwp, ci, co).astype(w_u.dtype)
+    return dx, dw_u
+
+
+upconv_core_hybrid.defvjp(_upconv_hybrid_fwd, _upconv_hybrid_bwd)
+
+
 def maxpool2_packed_cascade(xp):
     """maxpool2 via three lane-block max halvings + pack2 (no (…,8,C)
     sub-axis reshape of the full tensor)."""

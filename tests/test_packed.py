@@ -236,6 +236,37 @@ def test_packed_train_dec_up_modes_match(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_packed_train_hybrid_vjp_matches_composed(rng):
+    """dec_up="hybrid" (custom qgroup-dw VJP for the composed upconv) is the
+    same forward as "composed" and its hand-rolled gradients must track
+    XLA's to contraction noise through one optimizer step."""
+    from mri_epilepsy_diagnosis_tpu.models import UNet3D
+    from mri_epilepsy_diagnosis_tpu.train.optim import torch_adamw
+    from mri_epilepsy_diagnosis_tpu.train.seg import packed_seg_train_step
+    from mri_epilepsy_diagnosis_tpu.train.state import create_train_state
+
+    F.set_precision_override("fast")
+    try:
+        model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
+                       out_channels_first_layer=4)
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 1)), jnp.float32)
+        y = jnp.asarray(rng.random((2, 16, 16, 16, 1)) > 0.6, jnp.float32)
+        s1 = create_train_state(model, torch_adamw(1e-3),
+                                jnp.zeros((1, 8, 8, 8, 1)))
+        s2 = jax.tree_util.tree_map(jnp.copy, s1)
+        s1, l1 = packed_seg_train_step(s1, x, y, dec_up="composed")
+        s2, l2 = packed_seg_train_step(s2, x, y, dec_up="hybrid")
+        np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5, atol=1e-6)
+        # Adam amplifies bf16-level (DEFAULT precision) rounding on
+        # near-zero grad elements — same tolerance story as test_accum
+        for a, b in zip(jax.tree_util.tree_leaves(s2.params),
+                        jax.tree_util.tree_leaves(s1.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=5e-4)
+    finally:
+        F.set_precision_override(None)
+
+
 def test_packed_train_step_matches_fine(rng):
     """One full optimizer step (loss, grads through packed convs/BN/dice)
     must track the fine `seg_train_step`."""
