@@ -257,7 +257,8 @@ def bench_aux_workloads(on_tpu, iters):
     rng = np.random.default_rng(2)
     key = jax.random.key(0)
     out = {"patch_clf": float("nan"), "ae": float("nan"),
-           "fader": float("nan"), "dilated_cnn": float("nan")}
+           "fader": float("nan"), "dilated_cnn": float("nan"),
+           "dilated_cnn_dtype": None, "dilated_cnn_f32": float("nan")}
 
     # DilatedCNN classification baseline: 180^3 volumes, batch 10 — the
     # reference trains this at ~5.2 vol/s on a P100
@@ -268,13 +269,20 @@ def bench_aux_workloads(on_tpu, iters):
             class_train_step_accum)
         if not on_tpu:
             raise RuntimeError("DilatedCNN geometry needs the 180^3 crop")
-        # b10 (the reference batch, baseline_sample_classification.ipynb
-        # cell 28) crashes the remote compiler as a flat graph; scan-based
-        # gradient accumulation (micro=5) compiles the micro-batch graph
-        # once and reaches 20.0 vol/s (experiments/accum_probe.py).  Flat
-        # b4 (19.5 vol/s) and b2 remain as fallbacks.
+        # Headline: bf16 mixed precision at the reference batch 10 FLAT —
+        # the only b10 graph this platform's remote compiler accepts
+        # (f32 flat b10 crashes it) and the fastest mode at 30.9 vol/s
+        # (experiments/dilated_bf16_probe.py).  Then the f32 comparison:
+        # scan-based gradient accumulation micro=5 (20.0 vol/s,
+        # experiments/accum_probe.py), flat b4 (19.5) and b2 as fallbacks.
         size = 180
-        for b, micro, budget in ((10, 5, 600), (4, 0, 600), (2, 0, 420)):
+        rates = {}
+        for b, micro, dt, budget in ((10, 0, "bf16", 600),
+                                     (10, 5, "f32", 600),
+                                     (4, 0, "f32", 600),
+                                     (2, 0, "f32", 420)):
+            if dt in rates:
+                continue
             try:
                 with _deadline(budget):
                     model = DilatedCNN(input_shape=(size,) * 3)
@@ -283,7 +291,7 @@ def bench_aux_workloads(on_tpu, iters):
                         jnp.zeros((1, size, size, size, 1)))
                     x = jnp.asarray(
                         rng.normal(size=(b, size, size, size, 1)),
-                        jnp.float32)
+                        jnp.bfloat16 if dt == "bf16" else jnp.float32)
                     y = jnp.asarray(rng.integers(0, 2, b), jnp.int32)
 
                     def _one(st):
@@ -300,12 +308,17 @@ def bench_aux_workloads(on_tpu, iters):
                     for _ in range(iters):
                         st, loss = _one(st)
                     float(loss)
-                    out["dilated_cnn"] = (b * iters
-                                          / (time.perf_counter() - t0))
-                break
+                    rates[dt] = b * iters / (time.perf_counter() - t0)
             except Exception as e:
-                print(f"# dilated-cnn b{b} bench failed: "
+                print(f"# dilated-cnn b{b} {dt} bench failed: "
                       f"{type(e).__name__}", flush=True)
+        if "bf16" in rates:
+            out["dilated_cnn"] = rates["bf16"]
+            out["dilated_cnn_dtype"] = "bf16"
+        elif "f32" in rates:
+            out["dilated_cnn"] = rates["f32"]
+            out["dilated_cnn_dtype"] = "f32"
+        out["dilated_cnn_f32"] = rates.get("f32", float("nan"))
     except Exception as e:
         if on_tpu:
             print(f"# dilated-cnn bench setup failed: {type(e).__name__}",
@@ -546,6 +559,8 @@ def main():
         # reference: DilatedCNN ~5.2 vol/s train on P100 (BASELINE.md)
         "clf_train_vol_per_s": _num(aux["dilated_cnn"], 2),
         "clf_train_vs_baseline": _num(aux["dilated_cnn"] / 5.2, 1),
+        "clf_train_dtype": aux["dilated_cnn_dtype"],
+        "clf_train_f32_vol_per_s": _num(aux["dilated_cnn_f32"], 2),
         "ae_train_vol_per_s": _num(aux["ae"], 2),
         "fader_train_vol_per_s": _num(aux["fader"], 2),
         "volume_size": size,

@@ -80,13 +80,18 @@ def _class_step(state: TrainState, x, y, rng, train: bool):
 
 def run_one_epoch(state: TrainState, loader, train: bool, rng_stream=None,
                   scheduler: Optional[ReduceLROnPlateau] = None,
-                  experiment=None, epoch: int = 0, prefetch: int = 2):
+                  experiment=None, epoch: int = 0, prefetch: int = 2,
+                  input_dtype=None):
     """One pass over `loader`; returns (state, losses, probs, targets).
 
     Dropout/sampling randomness is seeded per epoch (fold_in of `epoch`)
     so masks differ across epochs while runs stay reproducible.  Host batch
     prep overlaps device compute via `prefetch` staged device batches
-    (0 = synchronous)."""
+    (0 = synchronous).  `input_dtype=jnp.bfloat16` trains mixed precision:
+    bf16 activations/conv compute with f32 master weights and optimizer
+    moments (the seg-loop `input_dtype` contract, train/seg.py:132) — on
+    this platform it is also the only mode whose flat batch-10 DilatedCNN
+    graph compiles (experiments/dilated_bf16_probe.py)."""
     from ..data.pipeline import prefetch_to_device
 
     losses, probs, targets = [], [], []
@@ -96,6 +101,8 @@ def run_one_epoch(state: TrainState, loader, train: bool, rng_stream=None,
     for batch in batches:
         x, y = batch[0], batch[1]
         x = jnp.asarray(x)
+        if input_dtype is not None:
+            x = x.astype(input_dtype)
         y = jnp.asarray(y).astype(jnp.int32)
         key, sub = jax.random.split(key if rng_stream is None
                                     else rng_stream.next())
@@ -116,9 +123,10 @@ def train(state: TrainState, train_dataloader, val_dataloader, metric,
           scheduler: Optional[ReduceLROnPlateau] = None, verbose: int = 0,
           model_save_path: Optional[str] = None, max_epoch: int = 20,
           eps: float = 3e-3, max_patience: int = 10, experiment=None,
-          dashboard=None):
+          dashboard=None, input_dtype=None):
     """Epoch driver; returns (state, last_train_loss, last_train_metric,
-    last_val_loss, last_val_metric)."""
+    last_val_loss, last_val_metric).  `input_dtype` threads to
+    `run_one_epoch` (bf16 mixed-precision training)."""
     patience = 0
     best_metric = 0.0
     etl, etm, evl, evm = [], [], [], []
@@ -128,11 +136,11 @@ def train(state: TrainState, train_dataloader, val_dataloader, metric,
         t0 = time.time()
         state, tr_losses, tr_probs, tr_targets = run_one_epoch(
             state, train_dataloader, True, scheduler=scheduler,
-            experiment=experiment, epoch=epoch)
+            experiment=experiment, epoch=epoch, input_dtype=input_dtype)
         if val_dataloader is not None:
             state, v_losses, v_probs, v_targets = run_one_epoch(
                 state, val_dataloader, False, experiment=experiment,
-                epoch=epoch)
+                epoch=epoch, input_dtype=input_dtype)
 
         etl.append(float(np.mean(tr_losses)))
         etm.append(metric(tr_targets, tr_probs))

@@ -109,6 +109,50 @@ def test_packed_bf16_train_reaches_dice_095_on_blobs():
     assert best >= 0.95, f"bf16 whole-volume dice only reached {best:.4f}"
 
 
+def test_bf16_classification_train_loop_reaches_auc_09():
+    """Mixed-precision classification gate: `train(..., input_dtype=bfloat16)`
+    — the API behind the DilatedCNN reference-batch-10 bench (the only mode
+    whose flat b10 graph this platform's compiler accepts,
+    experiments/dilated_bf16_probe.py) — must reach holdout ROC-AUC >= 0.9
+    on a synthetic two-class volume task, not merely reduce the loss."""
+    from sklearn.metrics import roc_auc_score
+
+    from mri_epilepsy_diagnosis_tpu.models import VoxResNet
+    from mri_epilepsy_diagnosis_tpu.train.classification import train
+    from mri_epilepsy_diagnosis_tpu.train.optim import torch_adam
+    from mri_epilepsy_diagnosis_tpu.train.state import create_train_state
+
+    rng = np.random.default_rng(1)
+    n = 32
+    ys = (np.arange(n) % 2).astype(np.int64)  # alternating -> any split balanced
+    pattern = np.ones((1, 16, 16, 16), np.float32)
+    pattern[:, :, :8] = -1.0
+    x_all = np.stack([(2 * int(y) - 1) * pattern
+                      + rng.normal(0, 0.5, size=(1, 16, 16, 16))
+                      for y in ys]).astype(np.float32)
+
+    class _DS:
+        def __init__(self, idx):
+            self.idx = np.asarray(idx)
+
+        def __len__(self):
+            return len(self.idx)
+
+        def __getitem__(self, i):
+            j = self.idx[i]
+            return x_all[j], int(ys[j])
+
+    tr = DataLoader(_DS(np.arange(0, 24)), batch_size=8)
+    va = DataLoader(_DS(np.arange(24, n)), batch_size=8)
+    model = VoxResNet(input_shape=(16, 16, 16), n_filters=8, n_blocks=3)
+    state = create_train_state(model, torch_adam(1e-3),
+                               jnp.zeros((1, 16, 16, 16, 1)))
+    state, _, _, _, vm = train(state, tr, va, roc_auc_score,
+                               max_epoch=30, max_patience=30,
+                               input_dtype=jnp.bfloat16)
+    assert vm is not None and vm >= 0.9, f"bf16 holdout AUC only {vm}"
+
+
 def test_fader_domain_confusion_while_clf_holds():
     """Adversarial gate: with lambda=0 the discriminator learns the domain
     (acc >= 0.6 vs chance 1/3) and the classifier its task (acc >= 0.9);
