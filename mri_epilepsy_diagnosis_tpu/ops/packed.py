@@ -736,8 +736,15 @@ def _face_keep_mask(cells: int, ch: int, nbits: int, bit: int):
 def _embed_face(face, axis, side, out_shape):
     """Place a face plane (N, A, B, 4C) into a zero (shifted) full tensor:
     insert the written sub bit (r=1 for side 0, r=0 for side 1) into the
-    channel dim and zero-pad the cell dim of `axis`.  Pure reshape/pad —
-    fuses into the surrounding add instead of a dynamic-update-slice."""
+    channel dim and zero-pad the cell dim of `axis`.
+
+    The cell-axis embed has two lowerings on this toolchain (A/B:
+    experiments/face_embed_ab.py): `pad`, which XLA compiles to
+    constant+dynamic-update-slice fusions (~32 ms/step across the 12 faces
+    of the bf16 b2 192^3 train graph), and `bcast`
+    (MRI_TPU_EMBED_FACE=bcast) — multiply by a one-hot cell mask with a
+    stride-0 broadcast of the face, which can fuse into the surrounding
+    add (its transpose is a multiply+reduce instead of a slice)."""
     n, a_sz, b_sz, c4 = face.shape
     r = 1 if side == 0 else 0
     pre = 1 << axis  # face sub bits ordered before the inserted bit
@@ -747,6 +754,12 @@ def _embed_face(face, axis, side, out_shape):
     f = jnp.expand_dims(f, 1 + axis)
     cells = out_shape[1 + axis]
     idx = 0 if side == 0 else cells - 1
+    if os.environ.get("MRI_TPU_EMBED_FACE", "pad") == "bcast":
+        onehot = np.zeros((cells,), np.float32)
+        onehot[idx] = 1.0
+        shape = [1, 1, 1, 1, 1]
+        shape[1 + axis] = cells
+        return f * jnp.asarray(onehot, f.dtype).reshape(shape)
     pad = [(0, 0)] * 5
     pad[1 + axis] = (idx, cells - 1 - idx)
     return jnp.pad(f, pad)
