@@ -121,13 +121,25 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
             counts.append(n)
             yield arr
 
-    staged = prefetch_to_device(producer(), size=2, sharding=sharding)
-    for batch in staged:
-        n = counts.pop(0)
-        out = step(variables, batch)
+    def drain(out, n):
         masks = np.asarray(out["mask"])[:n]
         probs = (np.asarray(out["probs"])[:n]
                  if classify_fn is not None else None)
         for i in range(n):
             yield {"mask": masks[i],
                    **({"probs": probs[i]} if probs is not None else {})}
+
+    # One-deep result pipeline: dispatch step i+1 (async) BEFORE forcing
+    # step i's host readback, so the slow device->host mask transfer
+    # (~0.4-1.4 s per batch on this tunnel) overlaps the next batch's
+    # compute instead of serializing the stream.
+    staged = prefetch_to_device(producer(), size=2, sharding=sharding)
+    pending = None
+    for batch in staged:
+        n = counts.pop(0)
+        out = step(variables, batch)
+        if pending is not None:
+            yield from drain(*pending)
+        pending = (out, n)
+    if pending is not None:
+        yield from drain(*pending)
