@@ -29,7 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mri_epilepsy_diagnosis_tpu.core.mesh import enable_compilation_cache
+from mri_epilepsy_diagnosis_tpu.core.mesh import (enable_compilation_cache,
+                                                  wait_for_backend)
 
 enable_compilation_cache()
 
@@ -217,40 +218,6 @@ def _b16_cache_warm(size: int, timeout_s: int = 240) -> bool:
     print(f"# b16 cache probe: {'warm' if ok else 'cold'} -> batch "
           f"{16 if ok else 8}", flush=True)
     return ok
-
-
-def _wait_for_backend(max_wait_s: int = 1200) -> None:
-    """Block until the TPU backend initializes, retrying through transient
-    tunnel outages (observed: 'UNAVAILABLE: TPU backend setup/compile
-    error' for 30+ min stretches).  Probes in a subprocess because a hung
-    init inside this process can't be timed out, and a failed init may be
-    cached by the plugin.  Falls through after max_wait_s so the in-process
-    jax.devices() call reports the real error."""
-    import subprocess
-    import sys
-
-    deadline = time.monotonic() + max_wait_s
-    attempt = 0
-    while True:
-        attempt += 1
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print(jax.devices()[0].platform)"],
-                capture_output=True, timeout=150)
-            if proc.returncode == 0:
-                if attempt > 1:
-                    print(f"# backend up after {attempt} probes", flush=True)
-                return
-        except subprocess.TimeoutExpired:
-            pass
-        remaining = deadline - time.monotonic()
-        if remaining <= 0:
-            print("# backend never came up; proceeding anyway", flush=True)
-            return
-        print(f"# backend unavailable (probe {attempt}); retrying "
-              f"({remaining:.0f}s left)", flush=True)
-        time.sleep(min(60, max(1, remaining)))
 
 
 def _ensemble_b16_cache_warm(timeout_s: int = 420) -> bool:
@@ -458,7 +425,7 @@ def main():
     from mri_epilepsy_diagnosis_tpu.train.optim import torch_adamw
     from mri_epilepsy_diagnosis_tpu.train.state import create_train_state
 
-    _wait_for_backend()
+    wait_for_backend()
     on_tpu = jax.devices()[0].platform == "tpu"
     size = 192 if on_tpu else 32            # CPU fallback is smoke only
     batch = 8 if on_tpu else 1              # b8 doubles the thin-K conv rate

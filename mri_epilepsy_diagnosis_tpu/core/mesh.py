@@ -85,6 +85,50 @@ def host_local_batch(global_array, mesh: Mesh, sharding=None):
         sharding, np.asarray(global_array))
 
 
+def wait_for_backend(max_wait_s: float = 1200, probe_timeout_s: float = 150,
+                     retry_sleep_s: float = 60, _probe_cmd=None) -> bool:
+    """Block until the accelerator backend initializes, retrying through
+    transient transport outages.
+
+    The tunneled TPU backend on this platform can report ``UNAVAILABLE: TPU
+    backend setup/compile error`` for 30+ minute stretches.  A bare
+    ``jax.devices()`` during such a window either hangs or raises — and a
+    failed in-process init can be cached by the PJRT plugin — so the probe
+    runs in a subprocess and the caller's process first touches the backend
+    only after a probe succeeds.  Returns True if the backend came up,
+    False after ``max_wait_s`` (callers may then proceed and surface the
+    real in-process error).
+    """
+    import subprocess
+    import sys
+    import time
+
+    if _probe_cmd is None:
+        _probe_cmd = [sys.executable, "-c",
+                      "import jax; print(jax.devices()[0].platform)"]
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(_probe_cmd, capture_output=True,
+                                  timeout=probe_timeout_s)
+            if proc.returncode == 0:
+                if attempt > 1:
+                    print(f"# backend up after {attempt} probes", flush=True)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print("# backend never came up within "
+                  f"{max_wait_s:.0f}s; proceeding anyway", flush=True)
+            return False
+        print(f"# backend unavailable (probe {attempt}); retrying "
+              f"({remaining:.0f}s left)", flush=True)
+        time.sleep(min(retry_sleep_s, max(0.05, remaining)))
+
+
 def enable_compilation_cache(path: str = "/tmp/mri_tpu_jax_cache",
                              min_compile_secs: float = 1.0):
     """Persistent executable cache — remote TPU compiles on this platform

@@ -241,3 +241,24 @@ def test_uneven_shard_guards():
     f = make_parallel_apply(lambda v, x: x * 2.0, mesh)
     with pytest.raises(ValueError, match="spatial dim D=7"):
         f({}, jnp.zeros((4, 7, 8, 8, 1)))
+
+
+def test_wait_for_backend_paths():
+    """Transient-outage wait (core/mesh.py): succeeds immediately on a good
+    probe, retries then falls through on a persistently failing one."""
+    import sys
+    import time
+    from mri_epilepsy_diagnosis_tpu.core.mesh import wait_for_backend
+
+    ok = [sys.executable, "-c", "print('up')"]
+    assert wait_for_backend(max_wait_s=5, _probe_cmd=ok) is True
+
+    bad = [sys.executable, "-c", "raise SystemExit(1)"]
+    t0 = time.monotonic()
+    assert wait_for_backend(max_wait_s=1.0, retry_sleep_s=0.1,
+                            _probe_cmd=bad) is False
+    assert time.monotonic() - t0 >= 1.0  # actually waited out the budget
+
+    hang = [sys.executable, "-c", "import time; time.sleep(30)"]
+    assert wait_for_backend(max_wait_s=0.5, probe_timeout_s=0.3,
+                            retry_sleep_s=0.1, _probe_cmd=hang) is False
