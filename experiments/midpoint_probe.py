@@ -88,9 +88,13 @@ print(f"packed-v2 infer b{{B}} @192 bf16: {{dt*1e3:.1f}} ms "
 
 
 def main():
+    sys.path.insert(0, REPO)
+    from mri_epilepsy_diagnosis_tpu.core.mesh import wait_for_backend
+
     for name, tmpl, b, tmo in (("train-b3", _TRAIN, 3, 3600),
                                ("infer-b24", _INFER, 24, 3600)):
         print(f"== {name}", flush=True)
+        wait_for_backend()  # tunnel outages can last 30+ min
         code = tmpl.format(repo=REPO, b=b)
         try:
             subprocess.run([sys.executable, "-c", code], timeout=tmo)

@@ -29,7 +29,8 @@ if os.environ.get("MRI_TPU_FORCE_CPU") == "1":
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from mri_epilepsy_diagnosis_tpu.core.mesh import enable_compilation_cache
+from mri_epilepsy_diagnosis_tpu.core.mesh import (enable_compilation_cache,
+                                                  wait_for_backend)
 from mri_epilepsy_diagnosis_tpu.metrics import compute_dice_coefficient
 from mri_epilepsy_diagnosis_tpu.models import UNet3D
 from mri_epilepsy_diagnosis_tpu.models.unet_packed import packed_unet_apply_v2
@@ -40,6 +41,8 @@ from mri_epilepsy_diagnosis_tpu.train.state import create_train_state
 from mri_epilepsy_diagnosis_tpu.utils.data import SyntheticVolumes
 
 enable_compilation_cache()
+if os.environ.get("MRI_TPU_FORCE_CPU") != "1":
+    wait_for_backend()  # tunnel outages can last 30+ min
 F.set_precision_override("fast")
 SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 192
 B, MAX_STEPS, TARGET = 2, 120, 0.95
