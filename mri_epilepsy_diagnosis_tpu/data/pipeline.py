@@ -13,7 +13,6 @@ batches, the device layout.
 """
 from __future__ import annotations
 
-import collections
 import queue
 import threading
 from typing import Callable, Iterable, Optional, Sequence

@@ -26,7 +26,7 @@ align_corners=False (torch nn.Upsample default).  Layout is channels-last
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ from typing import Optional
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,13 +20,12 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import Any, Optional
+from typing import Optional
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from .classification import cross_entropy
 from .state import TrainState

@@ -13,7 +13,6 @@ worker-pool preprocessing stage (the reference needs
 """
 from __future__ import annotations
 
-import math
 from typing import Callable, Sequence, Tuple
 
 import jax
