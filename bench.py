@@ -259,7 +259,8 @@ def bench_aux_workloads(on_tpu, iters):
     key = jax.random.key(0)
     out = {"patch_clf": float("nan"), "ae": float("nan"),
            "fader": float("nan"), "dilated_cnn": float("nan"),
-           "dilated_cnn_dtype": None, "dilated_cnn_f32": float("nan")}
+           "dilated_cnn_dtype": None, "dilated_cnn_f32": float("nan"),
+           "voxresnet": float("nan"), "voxresnet_config": None}
 
     # DilatedCNN classification baseline: 180^3 volumes, batch 10 — the
     # reference trains this at ~5.2 vol/s on a P100
@@ -323,6 +324,55 @@ def bench_aux_workloads(on_tpu, iters):
     except Exception as e:
         if on_tpu:
             print(f"# dilated-cnn bench setup failed: {type(e).__name__}",
+                  flush=True)
+
+    # VoxResNet transfer baseline: 60.1 s epoch over the ~126-volume
+    # soloviev sample at 192^3 b10 on a P100 (~2.1 vol/s, frozen-backbone
+    # transfer; full_sample_classification.ipynb cells 19/21).  This
+    # benches the FULL fwd+bwd step — strictly more work per volume.
+    try:
+        from mri_epilepsy_diagnosis_tpu.models import VoxResNet
+        from mri_epilepsy_diagnosis_tpu.train.accum import (
+            class_train_step_accum)
+        if not on_tpu:
+            raise RuntimeError("VoxResNet geometry needs the 192^3 crop")
+        for b, micro, dt in ((10, 0, "bf16"), (10, 5, "bf16"), (4, 0, "bf16")):
+            try:
+                with _deadline(600):
+                    model = VoxResNet(input_shape=(192,) * 3, n_filters=32,
+                                      stride=2, n_blocks=4, dropout=0.5,
+                                      n_fc_units=192)
+                    st = create_train_state(
+                        model, torch_adam(1e-5, weight_decay=0.01),
+                        jnp.zeros((1, 192, 192, 192, 1)))
+                    x = jnp.asarray(rng.normal(size=(b, 192, 192, 192, 1)),
+                                    jnp.bfloat16)
+                    y = jnp.asarray(rng.integers(0, 2, b), jnp.int32)
+
+                    def _one(st):
+                        if micro:
+                            st, loss, _ = class_train_step_accum(
+                                st, x, y, key, micro=micro)
+                        else:
+                            st, loss, _ = _class_step(st, x, y, key, True)
+                        return st, loss
+
+                    st, loss = _one(st)
+                    float(loss)
+                    t0 = time.perf_counter()
+                    for _ in range(iters):
+                        st, loss = _one(st)
+                    float(loss)
+                    out["voxresnet"] = b * iters / (time.perf_counter() - t0)
+                    out["voxresnet_config"] = f"{dt}_b{b}" + (
+                        f"_micro{micro}" if micro else "")
+                    break
+            except Exception as e:
+                print(f"# voxresnet b{b} micro={micro} bench failed: "
+                      f"{type(e).__name__}", flush=True)
+    except Exception as e:
+        if on_tpu:
+            print(f"# voxresnet bench setup failed: {type(e).__name__}",
                   flush=True)
 
     try:
@@ -563,6 +613,11 @@ def main():
         "clf_train_vs_baseline": _num(aux["dilated_cnn"] / 5.2, 1),
         "clf_train_dtype": aux["dilated_cnn_dtype"],
         "clf_train_f32_vol_per_s": _num(aux["dilated_cnn_f32"], 2),
+        # reference: VoxResNet ~2.1 vol/s transfer epoch on P100; this key
+        # is the harder full fwd+bwd step (BASELINE.md)
+        "voxresnet_train_vol_per_s": _num(aux["voxresnet"], 2),
+        "voxresnet_train_vs_baseline": _num(aux["voxresnet"] / 2.1, 1),
+        "voxresnet_train_config": aux["voxresnet_config"],
         "ae_train_vol_per_s": _num(aux["ae"], 2),
         "fader_train_vol_per_s": _num(aux["fader"], 2),
         "volume_size": size,

@@ -104,6 +104,13 @@ def wait_for_backend(max_wait_s: float = 1200, probe_timeout_s: float = 150,
     import time
 
     if _probe_cmd is None:
+        # an in-process jax.config.update("jax_platforms", "cpu") (how CPU
+        # smokes override the image's pinned axon env) is NOT inherited by
+        # a subprocess — the probe would wait on the tunnel the caller
+        # isn't going to use.  CPU-only configs need no wait at all.
+        platforms = getattr(jax.config, "jax_platforms", None) or ""
+        if platforms and not {"tpu", "axon"} & set(platforms.split(",")):
+            return True
         _probe_cmd = [sys.executable, "-c",
                       "import jax; print(jax.devices()[0].platform)"]
     deadline = time.monotonic() + max_wait_s

@@ -253,6 +253,13 @@ def test_wait_for_backend_paths():
     ok = [sys.executable, "-c", "print('up')"]
     assert wait_for_backend(max_wait_s=5, _probe_cmd=ok) is True
 
+    # conftest forces jax_platforms=cpu in-process: the default probe must
+    # short-circuit (a subprocess can't see the config override and would
+    # wait on the pinned-axon tunnel instead)
+    t0 = time.monotonic()
+    assert wait_for_backend(max_wait_s=5) is True
+    assert time.monotonic() - t0 < 1.0
+
     bad = [sys.executable, "-c", "raise SystemExit(1)"]
     t0 = time.monotonic()
     assert wait_for_backend(max_wait_s=1.0, retry_sleep_s=0.1,
