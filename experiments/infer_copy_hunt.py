@@ -19,13 +19,15 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from mri_epilepsy_diagnosis_tpu.core.mesh import enable_compilation_cache
+from mri_epilepsy_diagnosis_tpu.core.mesh import (enable_compilation_cache,
+                                                  wait_for_backend)
 from mri_epilepsy_diagnosis_tpu.models import UNet3D
 from mri_epilepsy_diagnosis_tpu.models.unet_packed import packed_unet_apply_v2
 from mri_epilepsy_diagnosis_tpu.obs.trace_summary import (load_events,
                                                           summarize, top_ops)
 
 enable_compilation_cache()
+wait_for_backend()
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 SIZE = 192
 rng = np.random.default_rng(0)
