@@ -66,7 +66,7 @@ def _apply(state: TrainState, params, x, train, rng):
     return state.apply_fn(variables, x, train=train, rngs=rngs), state.batch_stats
 
 
-@functools.partial(jax.jit, static_argnames=("n_domains",))
+@functools.partial(jax.jit, static_argnames=("n_domains",), donate_argnums=(0,))
 def disc_step(fstate: FaderState, x, domains, rng, n_domains: int,
               domain_weight=None):
     """Train disc on the frozen encoder's latent (encoder in eval mode, as
@@ -85,7 +85,7 @@ def disc_step(fstate: FaderState, x, domains, rng, n_domains: int,
     return fstate.replace(disc=new_disc), loss, logits
 
 
-@functools.partial(jax.jit, static_argnames=("n_domains",))
+@functools.partial(jax.jit, static_argnames=("n_domains",), donate_argnums=(0,))
 def enc_clf_step(fstate: FaderState, x, y, domains, lambda_t, rng,
                  n_domains: int, class_weight=None):
     """Train encoder+classifier against the frozen discriminator."""
@@ -109,7 +109,7 @@ def enc_clf_step(fstate: FaderState, x, y, domains, lambda_t, rng,
             clf_logits)
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def ae_step(fstate: FaderState, x, domains, lambda_t, rng):
     """AE variant (train_AE.ipynb): MSE reconstruction + lambda * adv."""
 
