@@ -29,5 +29,6 @@ run() {  # run <name> <timeout_s> <cmd...>
 run midpoint   7500 python experiments/midpoint_probe.py
 run copyhunt16 4000 python experiments/infer_copy_hunt.py 16
 run aux_ab     2400 python experiments/aux_workloads_probe.py
+run conv192    5400 python experiments/train192_convergence.py
 run bench      5400 python bench.py
 echo "== queue done $(date -u +%H:%M:%S)" | tee -a /tmp/r3q_status.log
