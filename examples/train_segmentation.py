@@ -82,9 +82,12 @@ def main():
         sample, out_channels_first_layer=args.ocfl)
     experiment = Experiment(project_name="segmentation")
 
-    # whole-volume batches >= 2 only compile with per-block remat
+    # f32 whole-volume batches >= 2 only compile with per-block remat; the
+    # bf16 flat graph compiles at b2 and beats remat by ~17%
+    # (experiments/train_bf16_b4_remat_probe.py: 5.28 vs 4.41 vol/s)
     packed_mode = args.packed
-    if args.packed and not args.patches and args.batch_size >= 2:
+    if (args.packed and not args.patches and args.batch_size >= 2
+            and not args.bf16):
         packed_mode = "remat"
     input_dtype = jnp.bfloat16 if args.bf16 else None
     if args.bf16 and not args.packed:

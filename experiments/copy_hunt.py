@@ -13,7 +13,6 @@ Outputs: /tmp/trace_copyhunt_<dt>_b<b>/  and  /tmp/hlo_<dt>_b<b>.txt
 """
 import functools
 import os
-import re
 import sys
 import time
 
@@ -24,8 +23,9 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mri_epilepsy_diagnosis_tpu.core.mesh import enable_compilation_cache
 from mri_epilepsy_diagnosis_tpu.models import UNet3D
-from mri_epilepsy_diagnosis_tpu.obs.trace_summary import (load_events,
-                                                          summarize, top_ops)
+from mri_epilepsy_diagnosis_tpu.obs.trace_summary import (hlo_copy_rows,
+                                                          print_copy_report,
+                                                          print_trace_report)
 from mri_epilepsy_diagnosis_tpu.ops import functional as F
 from mri_epilepsy_diagnosis_tpu.train.optim import torch_adamw
 from mri_epilepsy_diagnosis_tpu.train.seg import packed_seg_train_step
@@ -66,49 +66,9 @@ with open(hlo_path, "w") as f:
     f.write(hlo)
 print(f"HLO -> {hlo_path} ({len(hlo.splitlines())} lines)", flush=True)
 
-_SHAPE = re.compile(r"(\w+)\[([\d,]*)\]")
-_BYTES = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "s8": 1,
-          "u8": 1, "f16": 2, "s64": 8, "u64": 8, "f64": 8}
-
-
-def shape_bytes(s):
-    m = _SHAPE.search(s)
-    if not m:
-        return 0
-    n = 1
-    for d in m.group(2).split(","):
-        if d:
-            n *= int(d)
-    return n * _BYTES.get(m.group(1), 4)
-
-
-# ---- rank copies by bytes, with metadata
-rows = []
-for line in hlo.splitlines():
-    ls = line.strip()
-    m = re.match(r"%?([\w.-]+) = ([^=]+?) copy\(", ls)
-    if not m:
-        continue
-    name, shp = m.group(1), m.group(2)
-    meta = re.search(r'op_name="([^"]*)"', ls)
-    rows.append((shape_bytes(shp), name, shp.strip(),
-                 meta.group(1) if meta else "?"))
-rows.sort(reverse=True)
-print(f"\n== {len(rows)} copy ops in optimized HLO; top by bytes ==")
-tot = sum(r[0] for r in rows)
-print(f"total copy bytes/step: {tot / 1e9:.2f} GB")
-for b, name, shp, meta in rows[:25]:
-    print(f"{b/1e6:9.1f} MB  {name:22s} {shp:44.44s} {meta[:90]}")
-
-# group by op_name for a source-level rollup
-by_src = {}
-for b, name, shp, meta in rows:
-    k = meta.split("/")[-1][:70] if meta != "?" else "?"
-    t, c = by_src.get(k, (0, 0))
-    by_src[k] = (t + b, c + 1)
-print("\n== copy bytes by source op_name (tail component) ==")
-for k, (b, c) in sorted(by_src.items(), key=lambda kv: -kv[1][0])[:20]:
-    print(f"{b/1e6:9.1f} MB {c:4d}x  {k}")
+# ---- rank copies by bytes with source metadata (shared helpers)
+rows = hlo_copy_rows(hlo)
+print_copy_report(rows, top=25, by_src_top=20)
 
 # ---- fresh trace of the same executable
 trace_dir = f"/tmp/trace_copyhunt_{DT}_b{B}"
@@ -117,17 +77,4 @@ with jax.profiler.trace(trace_dir):
         state2, loss = step(state2, x, y)
     print("traced loss", float(loss), flush=True)
 
-events = load_events(trace_dir)
-rollup, total = summarize(events)
-print(f"\n== trace rollup ({total / 6e3:.1f} ms/step) ==")
-for kind, (t, c) in sorted(rollup.items(), key=lambda kv: -kv[1][0])[:16]:
-    print(f"{kind:40s} {t/6e3:8.2f} ms/step {100*t/total:5.1f}% {c:6d}")
-
-print("\n== top individual device ops ==")
-hlo_names = {name: (shp, meta) for _, name, shp, meta in rows}
-for name, t, c in top_ops(events, top=30):
-    extra = ""
-    if name in hlo_names:
-        shp, meta = hlo_names[name]
-        extra = f"  <- {shp[:30]} {meta[-60:]}"
-    print(f"{name:36.36s} {t/6e3:8.2f} ms/step{extra}")
+print_trace_report(trace_dir, iters=6, hlo_rows=rows, ops_top=30)

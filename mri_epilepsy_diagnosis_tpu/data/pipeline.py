@@ -243,31 +243,63 @@ class batched:
             yield self.collate_fn(buf)
 
 
-def prefetch_to_device(iterator: Iterable, size: int = 2, sharding=None):
-    """Overlap host batch preparation with device compute: a single worker
-    thread stages `size` batches ahead as committed device arrays."""
-    q: queue.Queue = queue.Queue(maxsize=size)
+class DevicePrefetcher:
+    """Background-thread staging of host batches as committed device arrays.
+
+    ``get()`` blocks for the next staged batch and returns ``None`` once the
+    input iterator is exhausted.  ``get(block=False)`` additionally returns
+    ``None`` when the producer simply hasn't staged a batch yet — check
+    ``exhausted`` to tell the two apart.  The non-blocking form lets a
+    consumer flush already-computed results while the producer is still
+    working instead of sitting on them (infer/serving.py's one-deep result
+    pipeline).  Producer-side exceptions re-raise in the consumer.
+    """
+
     _END = object()
     _ERR = object()
 
-    def producer():
+    def __init__(self, iterator: Iterable, size: int = 2, sharding=None):
+        self._q: queue.Queue = queue.Queue(maxsize=size)
+        self._sharding = sharding
+        self.exhausted = False
+        t = threading.Thread(target=self._produce, args=(iterator,),
+                             daemon=True)
+        t.start()
+
+    def _produce(self, iterator):
         try:
             for batch in iterator:
-                if sharding is not None:
-                    batch = jax.device_put(batch, sharding)
+                if self._sharding is not None:
+                    batch = jax.device_put(batch, self._sharding)
                 else:
                     batch = jax.device_put(batch)
-                q.put(batch)
-            q.put(_END)
+                self._q.put(batch)
+            self._q.put(self._END)
         except BaseException as e:  # propagate host-side failures to consumer
-            q.put((_ERR, e))
+            self._q.put((self._ERR, e))
 
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+    def get(self, block: bool = True):
+        if self.exhausted:
+            return None
+        try:
+            item = self._q.get(block=block)
+        except queue.Empty:
+            return None
+        if item is self._END:
+            self.exhausted = True
+            return None
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is self._ERR:
+            self.exhausted = True
             raise item[1]
+        return item
+
+
+def prefetch_to_device(iterator: Iterable, size: int = 2, sharding=None):
+    """Overlap host batch preparation with device compute: a single worker
+    thread stages `size` batches ahead as committed device arrays."""
+    pf = DevicePrefetcher(iterator, size=size, sharding=sharding)
+    while True:
+        item = pf.get()
+        if item is None:
+            return
         yield item

@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data.pipeline import prefetch_to_device
+from ..data.pipeline import DevicePrefetcher
 
 _STEP_CACHE: dict = {}
 
@@ -129,13 +129,26 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
             yield {"mask": masks[i],
                    **({"probs": probs[i]} if probs is not None else {})}
 
-    # One-deep result pipeline: dispatch step i+1 (async) BEFORE forcing
-    # step i's host readback, so the slow device->host mask transfer
-    # (~0.4-1.4 s per batch on this tunnel) overlaps the next batch's
-    # compute instead of serializing the stream.
-    staged = prefetch_to_device(producer(), size=2, sharding=sharding)
+    # One-deep result pipeline: when the next batch is already staged,
+    # dispatch its step (async) BEFORE forcing the previous step's host
+    # readback, so the slow device->host mask transfer (~0.4-1.4 s per
+    # batch on this tunnel) overlaps the next batch's compute.  When the
+    # producer has NOT staged the next batch yet, the device is idle
+    # either way — flush the completed results immediately instead of
+    # sitting on them (overlaps readback with host staging, and keeps a
+    # paused request stream live rather than withholding finished masks
+    # until future traffic arrives).
+    staged = DevicePrefetcher(producer(), size=2, sharding=sharding)
     pending = None
-    for batch in staged:
+    while True:
+        batch = staged.get(block=False)
+        if batch is None and not staged.exhausted:
+            if pending is not None:
+                yield from drain(*pending)
+                pending = None
+            batch = staged.get()
+        if batch is None:
+            break
         n = counts.pop(0)
         out = step(variables, batch)
         if pending is not None:

@@ -106,6 +106,91 @@ def top_ops(events: List[dict], device_substr: str = "TPU", top: int = 25,
     return rows[:top]
 
 
+# ---------------------------------------------------------------------------
+# optimized-HLO copy attribution (shared by experiments/copy_hunt.py and
+# experiments/infer_copy_hunt.py): rank `copy` ops by byte volume and map
+# each back to the JAX source line through its op_name metadata
+# ---------------------------------------------------------------------------
+
+_HLO_SHAPE = re.compile(r"(\w+)\[([\d,]*)\]")
+_HLO_COPY = re.compile(r"%?([\w.-]+) = ([^=]+?) copy\(")
+_HLO_OP_NAME = re.compile(r'op_name="([^"]*)"')
+_ELEM_BYTES = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "s8": 1,
+               "u8": 1, "f16": 2, "s64": 8, "u64": 8, "f64": 8}
+
+
+def hlo_shape_bytes(shape_str: str) -> int:
+    """Byte size of an HLO shape string like `bf16[2,97,97,97,64]{...}`."""
+    m = _HLO_SHAPE.search(shape_str)
+    if not m:
+        return 0
+    n = 1
+    for d in m.group(2).split(","):
+        if d:
+            n *= int(d)
+    return n * _ELEM_BYTES.get(m.group(1), 4)
+
+
+def hlo_copy_rows(hlo_text: str) -> List[Tuple[int, str, str, str]]:
+    """All `copy` ops in an optimized-HLO dump as (bytes, instruction name,
+    shape string, JAX op_name metadata), largest first."""
+    rows = []
+    for line in hlo_text.splitlines():
+        ls = line.strip()
+        m = _HLO_COPY.match(ls)
+        if not m:
+            continue
+        meta = _HLO_OP_NAME.search(ls)
+        rows.append((hlo_shape_bytes(m.group(2)), m.group(1),
+                     m.group(2).strip(), meta.group(1) if meta else "?"))
+    rows.sort(reverse=True)
+    return rows
+
+
+def print_copy_report(rows: List[Tuple[int, str, str, str]], top: int = 25,
+                      by_src_top: int = 20) -> None:
+    """Top copies by bytes + a rollup by source op_name tail component."""
+    tot = sum(r[0] for r in rows)
+    print(f"\n== {len(rows)} copy ops; total {tot / 1e9:.2f} GB/step ==")
+    for b, name, shp, meta in rows[:top]:
+        print(f"{b/1e6:9.1f} MB  {name:22s} {shp:44.44s} {meta[:90]}")
+    by_src: Dict[str, Tuple[int, int]] = {}
+    for b, name, shp, meta in rows:
+        k = meta.split("/")[-1][:70] if meta != "?" else "?"
+        t, c = by_src.get(k, (0, 0))
+        by_src[k] = (t + b, c + 1)
+    print("\n== copy bytes by source op_name (tail component) ==")
+    for k, (b, c) in sorted(by_src.items(),
+                            key=lambda kv: -kv[1][0])[:by_src_top]:
+        print(f"{b/1e6:9.1f} MB {c:4d}x  {k}")
+
+
+def print_trace_report(trace_dir: str, iters: int,
+                       hlo_rows: Optional[List[Tuple[int, str, str, str]]]
+                       = None, kinds_top: int = 16, ops_top: int = 25,
+                       header_extra: str = "") -> float:
+    """Per-step op-kind rollup + top individual ops, cross-referencing op
+    instances against `hlo_rows` when given.  Returns total device us."""
+    events = load_events(trace_dir)
+    rollup, total = summarize(events)
+    print(f"\n== trace rollup ({total / iters / 1e3:.1f} ms/step"
+          f"{header_extra}) ==")
+    for kind, (t, c) in sorted(rollup.items(),
+                               key=lambda kv: -kv[1][0])[:kinds_top]:
+        print(f"{kind:40s} {t/iters/1e3:8.2f} ms/step "
+              f"{100*t/total:5.1f}% {c:6d}")
+    print("\n== top individual device ops ==")
+    hlo_names = {name: (shp, meta)
+                 for _, name, shp, meta in (hlo_rows or [])}
+    for name, t, c in top_ops(events, top=ops_top):
+        extra = ""
+        if name in hlo_names:
+            shp, meta = hlo_names[name]
+            extra = f"  <- {shp[:30]} {meta[-60:]}"
+        print(f"{name:36.36s} {t/iters/1e3:8.2f} ms/step{extra}")
+    return total
+
+
 def print_summary(path: str, top: int = 25, iters: Optional[int] = None,
                   device_substr: str = "TPU") -> None:
     events = load_events(path)

@@ -101,27 +101,6 @@ def repack_shifted(xp):
 
 
 @functools.lru_cache(maxsize=None)
-def _pack_kernel_index():
-    """Scatter indices mapping fine (t, ci, co) kernel entries into the
-    (2,2,2, 8ci, 8co) packed kernel (numpy, computed once)."""
-    src, dst = [], []
-    for sd in range(2):
-        for sh in range(2):
-            for sw in range(2):
-                so = (sd * 2 + sh) * 2 + sw
-                for td in range(3):
-                    for th in range(3):
-                        for tw in range(3):
-                            qd, rd = divmod(sd + td, 2)  # td-1 +1 shift
-                            qh, rh = divmod(sh + th, 2)
-                            qw, rw = divmod(sw + tw, 2)
-                            si = (rd * 2 + rh) * 2 + rw
-                            src.append((td, th, tw))
-                            dst.append((qd, qh, qw, si, so))
-    return np.asarray(src), np.asarray(dst)
-
-
-@functools.lru_cache(maxsize=None)
 def _axis_table_sa():
     """Per-axis packing tensor A[t, q, r, s] = 1 iff output sub s's tap t
     reads shifted-input cell offset q sub r ((q, r) = divmod(s + t, 2))."""
@@ -338,28 +317,6 @@ def concat_channels_packed(a, b):
 # before the next (s->a) conv — `zero_shifted_pads` multiplies the six
 # boundary planes by channel masks (cheap: planes only).
 # ---------------------------------------------------------------------------
-
-
-@functools.lru_cache(maxsize=None)
-def _pack_kernel_index_as():
-    """Scatter indices for the aligned->shifted kernel: per axis, output
-    shifted sub r tap t reads aligned cell X-1+u sub q with
-    (u-1, q) = divmod(r + t - 2, 2)."""
-    src, dst = [], []
-    for rd in range(2):
-        for rh in range(2):
-            for rw in range(2):
-                so = (rd * 2 + rh) * 2 + rw
-                for td in range(3):
-                    for th in range(3):
-                        for tw in range(3):
-                            od, qd = divmod(rd + td - 2, 2)
-                            oh, qh = divmod(rh + th - 2, 2)
-                            ow, qw = divmod(rw + tw - 2, 2)
-                            si = (qd * 2 + qh) * 2 + qw
-                            src.append((td, th, tw))
-                            dst.append((od + 1, oh + 1, ow + 1, si, so))
-    return np.asarray(src), np.asarray(dst)
 
 
 @functools.lru_cache(maxsize=None)

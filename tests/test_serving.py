@@ -85,3 +85,39 @@ def test_segment_volumes_device_preprocess(rng):
             assert (a["mask"] == b["mask"]).mean() > 0.999
     finally:
         _F.set_precision_override(None)
+
+
+def test_segment_volumes_flushes_on_stream_pause(rng):
+    """A paused request stream must still receive completed masks: after
+    batch i's step finishes, its results may not be withheld until batch
+    i+1 arrives (liveness of the one-deep readback-overlap pipeline)."""
+    import threading
+
+    _F.set_precision_override("fast")
+    try:
+        model = UNet3D(out_channels_first_layer=4, num_encoding_blocks=2)
+        v = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)))
+        vol = rng.normal(size=(16, 16, 16)).astype(np.float32)
+        got_first = threading.Event()
+
+        def volumes():
+            yield vol
+            yield vol  # completes batch 1 (batch_size=2)
+            # stall until the consumer has SEEN batch 1's masks — under a
+            # strict dispatch-next-before-drain pipeline this deadlocks
+            assert got_first.wait(timeout=60), \
+                "batch 1 results withheld while the stream was paused"
+            yield vol
+            yield vol
+
+        results = segment_volumes(
+            lambda vv, b: model.apply(vv, b), v, volumes(), batch_size=2,
+            dtype=jnp.float32)
+        first = [next(results), next(results)]
+        got_first.set()
+        rest = list(results)
+        assert len(first) == 2 and len(rest) == 2
+        for r in first + rest:
+            assert r["mask"].shape == (16, 16, 16)
+    finally:
+        _F.set_precision_override(None)

@@ -53,3 +53,27 @@ def test_load_events_finds_gz(tmp_path):
         json.dump({"traceEvents": _fake_trace()}, fh)
     events = load_events(str(tmp_path))
     assert summarize(events)[1] == 90.0
+
+
+def test_hlo_copy_attribution(capsys):
+    from mri_epilepsy_diagnosis_tpu.obs.trace_summary import (
+        hlo_copy_rows, hlo_shape_bytes, print_copy_report)
+
+    assert hlo_shape_bytes("bf16[2,4,8]{2,1,0}") == 2 * 4 * 8 * 2
+    assert hlo_shape_bytes("f32[10]") == 40
+    assert hlo_shape_bytes("nonsense") == 0
+
+    hlo = "\n".join([
+        "HloModule jit_step",
+        '  %copy.1 = bf16[2,8]{1,0} copy(%p0), metadata={op_name="jit(step)/convert"}',
+        "  %add.2 = f32[4]{0} add(%a, %b)",
+        '  %copy.2 = f32[16]{0} copy(%x), metadata={op_name="jit(step)/transpose"}',
+    ])
+    rows = hlo_copy_rows(hlo)
+    assert [r[1] for r in rows] == ["copy.2", "copy.1"]  # bytes-descending
+    assert rows[0][0] == 64 and rows[1][0] == 32
+    assert rows[1][3].endswith("convert")
+
+    print_copy_report(rows, top=5, by_src_top=5)
+    out = capsys.readouterr().out
+    assert "2 copy ops" in out and "transpose" in out and "convert" in out
