@@ -140,19 +140,28 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
     # until future traffic arrives).
     staged = DevicePrefetcher(producer(), size=2, sharding=sharding)
     pending = None
-    while True:
-        batch = staged.get(block=False)
-        if batch is None and not staged.exhausted:
+    try:
+        while True:
+            batch = staged.get(block=False)
+            if batch is None and not staged.exhausted:
+                if pending is not None:
+                    yield from drain(*pending)
+                    pending = None
+                batch = staged.get()
+            if batch is None:
+                break
+            n = counts.pop(0)
+            out = step(variables, batch)
             if pending is not None:
                 yield from drain(*pending)
-                pending = None
-            batch = staged.get()
-        if batch is None:
-            break
-        n = counts.pop(0)
-        out = step(variables, batch)
+            pending = (out, n)
+    except Exception:
+        # a producer-side error (bad volume, preprocess failure) must not
+        # discard the already-computed batch parked in `pending`
         if pending is not None:
-            yield from drain(*pending)
-        pending = (out, n)
+            out, n = pending
+            pending = None
+            yield from drain(out, n)
+        raise
     if pending is not None:
         yield from drain(*pending)

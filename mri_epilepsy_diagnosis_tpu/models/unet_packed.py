@@ -226,7 +226,9 @@ def _bn_train_packed(y, params, old_stats, *, pad_entries, valid,
     s1 = jnp.sum(yf, axis=(0, 1, 2, 3)).reshape(8, c).sum(0)
     s2 = jnp.sum(yf * yf, axis=(0, 1, 2, 3)).reshape(8, c).sum(0)
     mean = s1 / valid
-    var = s2 / valid - mean * mean
+    # f32 cancellation can round E[x^2]-E[x]^2 slightly negative for a
+    # near-constant channel with large mean; rsqrt(var+eps) would then NaN
+    var = jnp.maximum(s2 / valid - mean * mean, 0.0)
     del pad_entries  # implicit: pads contribute zero to both sums
     out = F.batch_norm(y, jnp.tile(mean, 8), jnp.tile(var, 8),
                        P.tile_channel_param(params["weight"]),

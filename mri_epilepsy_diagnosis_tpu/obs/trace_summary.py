@@ -113,7 +113,7 @@ def top_ops(events: List[dict], device_substr: str = "TPU", top: int = 25,
 # ---------------------------------------------------------------------------
 
 _HLO_SHAPE = re.compile(r"(\w+)\[([\d,]*)\]")
-_HLO_COPY = re.compile(r"%?([\w.-]+) = ([^=]+?) copy\(")
+_HLO_COPY = re.compile(r"(?:ROOT )?%?([\w.-]+) = ([^=]+?) copy\(")
 _HLO_OP_NAME = re.compile(r'op_name="([^"]*)"')
 _ELEM_BYTES = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "s8": 1,
                "u8": 1, "f16": 2, "s64": 8, "u64": 8, "f64": 8}

@@ -87,6 +87,38 @@ def test_segment_volumes_device_preprocess(rng):
         _F.set_precision_override(None)
 
 
+def test_segment_volumes_yields_completed_before_producer_error(rng):
+    """A producer-side failure in volume N must not discard the finished
+    masks of the batch already computed and parked for readback overlap."""
+    _F.set_precision_override("fast")
+    try:
+        model = UNet3D(out_channels_first_layer=4, num_encoding_blocks=2)
+        v = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)))
+        vol = rng.normal(size=(16, 16, 16)).astype(np.float32)
+
+        def volumes():
+            yield vol
+            yield vol  # completes batch 1 (batch_size=2)
+            raise RuntimeError("stream died")
+
+        results = segment_volumes(
+            lambda vv, b: model.apply(vv, b), v, volumes(), batch_size=2,
+            dtype=jnp.float32)
+        got = []
+        raised = False
+        try:
+            for r in results:
+                got.append(r)
+        except RuntimeError:
+            raised = True
+        assert raised
+        assert len(got) == 2  # batch 1's masks were flushed, not discarded
+        for r in got:
+            assert r["mask"].shape == (16, 16, 16)
+    finally:
+        _F.set_precision_override(None)
+
+
 def test_segment_volumes_flushes_on_stream_pause(rng):
     """A paused request stream must still receive completed masks: after
     batch i's step finishes, its results may not be withheld until batch

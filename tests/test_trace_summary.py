@@ -68,12 +68,16 @@ def test_hlo_copy_attribution(capsys):
         '  %copy.1 = bf16[2,8]{1,0} copy(%p0), metadata={op_name="jit(step)/convert"}',
         "  %add.2 = f32[4]{0} add(%a, %b)",
         '  %copy.2 = f32[16]{0} copy(%x), metadata={op_name="jit(step)/transpose"}',
+        # computation-root copies are spelled with a ROOT prefix — they are
+        # often the largest relayouts and must not be skipped
+        '  ROOT %copy.3 = f32[32]{0} copy(%y), metadata={op_name="jit(step)/root"}',
     ])
     rows = hlo_copy_rows(hlo)
-    assert [r[1] for r in rows] == ["copy.2", "copy.1"]  # bytes-descending
-    assert rows[0][0] == 64 and rows[1][0] == 32
-    assert rows[1][3].endswith("convert")
+    assert [r[1] for r in rows] == ["copy.3", "copy.2", "copy.1"]
+    assert rows[0][0] == 128 and rows[1][0] == 64 and rows[2][0] == 32
+    assert rows[2][3].endswith("convert")
+    assert rows[0][3].endswith("root")
 
     print_copy_report(rows, top=5, by_src_top=5)
     out = capsys.readouterr().out
-    assert "2 copy ops" in out and "transpose" in out and "convert" in out
+    assert "3 copy ops" in out and "transpose" in out and "convert" in out
