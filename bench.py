@@ -475,7 +475,12 @@ def main():
     from mri_epilepsy_diagnosis_tpu.train.optim import torch_adamw
     from mri_epilepsy_diagnosis_tpu.train.state import create_train_state
 
-    wait_for_backend()
+    # the tunneled backend has been observed down for multi-hour stretches;
+    # a bench invoked during an outage should wait it out rather than lose
+    # the round's numbers to a startup race — and if it never returns, emit
+    # a clearly-marked CPU smoke line instead of nothing
+    if not wait_for_backend(max_wait_s=3600):
+        jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.devices()[0].platform == "tpu"
     size = 192 if on_tpu else 32            # CPU fallback is smoke only
     batch = 8 if on_tpu else 1              # b8 doubles the thin-K conv rate
