@@ -20,6 +20,14 @@ traffic and full MXU lanes (thin-channel convs are heavily BW-bound).
 
 Everything here is pure XLA (reshape/transpose/conv/einsum) — no Pallas —
 so it runs identically on CPU (tests) and TPU.
+
+Why not a deeper 4x4x4 pack (ocfl=8 gives only 64 lanes at pack2): the
+packed conv is dense over sub-position pairs, so a fine k=3 conv on a
+4^3-packed grid executes k=2 x 64_in x 64_out sub-position contractions =
+512 MAC per fine voxel per (c_in,c_out) against the logical 27 — a 19x
+FLOP overhead vs pack2's 2.37x.  The lane fill would have to buy back an
+8x compute inflation; pack2 is the sweet spot and the remaining half-empty
+lanes exist only in the two ocfl=8 stem convs.
 """
 from __future__ import annotations
 
