@@ -26,6 +26,10 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "== $name exit $? $(date -u +%H:%M:%S)" | tee -a /tmp/r3q_status.log
 }
 
+# /tmp (and the persistent compile cache) does not survive machine
+# recycling — warm the b16 headline executables first so a crash later in
+# the queue cannot cost the bench its batch-16 numbers.
+run warm       5400 python experiments/warm_cache.py
 run midpoint   7500 python experiments/midpoint_probe.py
 run copyhunt16 4000 python experiments/infer_copy_hunt.py 16
 run aux_ab     2400 python experiments/aux_workloads_probe.py
