@@ -33,5 +33,7 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "== $name exit $? $(date -u +%H:%M:%S)" | tee -a /tmp/r3q2_status.log
 }
 
+run variants   7200 python experiments/infer_variants_ab.py 8
+run trainbatch 5400 python experiments/train_batch_probe2.py
 run slidingwin 4200 python experiments/sliding_window_probe.py
 echo "== queue2 done $(date -u +%H:%M:%S)" | tee -a /tmp/r3q2_status.log

@@ -23,6 +23,26 @@ from ..ops import functional as F
 from ..ops import packed as P
 
 
+def _maxpool(xp):
+    """Env-pinned maxpool formulation (A/B inside the full graph —
+    experiments/infer_variants_ab.py): `reshape` = sub-axis reshape +
+    reduce_max (XLA relays the input W-minor: 3.6 GB/step at b16 192^3),
+    `cascade` = three lane-block halvings that fuse into the producer."""
+    if os.environ.get("MRI_TPU_MAXPOOL", "reshape") == "cascade":
+        return P.maxpool2_packed_cascade(xp)
+    return P.maxpool2_packed(xp)
+
+
+def _head_conv(xp, head):
+    """Env-pinned classifier-head formulation (same A/B): `reshape` =
+    per-sub einsum over a (…, 8, Ci) view, `blockdiag` = kron(I_8, w) dot
+    with no reshape (keeps the lane-major layout)."""
+    fn = (P.conv1_packed_blockdiag
+          if os.environ.get("MRI_TPU_HEAD", "reshape") == "blockdiag"
+          else P.conv1_packed)
+    return fn(xp, head["weight"], head.get("bias"))
+
+
 def _conv_block_packed(xp_aligned, params, stats, *, first=False,
                        shifted_input=None):
     """ConvBlock (conv3 + optional BN + PReLU) on packed activations.
@@ -64,7 +84,7 @@ def packed_unet_apply(variables, x, num_encoding_blocks: int = 3):
         shifted0 = None
         xp = _conv_block_packed(xp, blk["conv2"], bst.get("conv2", {}))
         skips.append(xp)
-        xp = P.maxpool2_packed(xp)
+        xp = _maxpool(xp)
 
     # ---- bottom block
     blk = params["bottom_block"]
@@ -83,7 +103,7 @@ def packed_unet_apply(variables, x, num_encoding_blocks: int = 3):
 
     # ---- classifier (1x1x1)
     head = params["classifier"]["conv_layer"]
-    yp = P.conv1_packed(xp, head["weight"], head.get("bias"))
+    yp = _head_conv(xp, head)
     return P.unpack2(yp)
 
 
@@ -166,7 +186,7 @@ def packed_unet_apply_v2(variables, x, num_encoding_blocks: int = 3):
         xs = _block_as(xp, blk["conv1"], bst.get("conv1", {}))
         xp = _block_sa(xs, blk["conv2"], bst.get("conv2", {}))
         skips.append(xp)
-        xp = P.maxpool2_packed(xp)
+        xp = _maxpool(xp)
 
     blk = params["bottom_block"]
     bst = stats.get("bottom_block", {})
@@ -189,7 +209,7 @@ def packed_unet_apply_v2(variables, x, num_encoding_blocks: int = 3):
         xp = _block_sa(xs, blk["conv2"], bst.get("conv2", {}))
 
     head = params["classifier"]["conv_layer"]
-    yp = P.conv1_packed(xp, head["weight"], head.get("bias"))
+    yp = _head_conv(xp, head)
     return P.unpack2(yp)
 
 
@@ -352,7 +372,7 @@ def packed_unet_train_apply(variables, x, num_encoding_blocks: int = 3,
             xp, params["encoder"][key], stats["encoder"].get(key, {}))
         _put(new_stats["encoder"], key, ns1, ns2)
         skips.append(xp)
-        xp = P.maxpool2_packed(xp)
+        xp = _maxpool(xp)
         s //= 2
 
     xp, ns1, ns2 = wrap(functools.partial(_double_block, s=s))(
@@ -368,26 +388,51 @@ def packed_unet_train_apply(variables, x, num_encoding_blocks: int = 3,
         _put(new_stats["decoder"], key, ns1, ns2)
 
     head = params["classifier"]["conv_layer"]
-    yp = P.conv1_packed(xp, head["weight"], head.get("bias"))
+    yp = _head_conv(xp, head)
     return yp, new_stats
 
 
 def packed_dice_loss(logits_packed, targets_fine):
-    """Soft dice loss from PACKED logits and fine targets — the sub-position
-    axis is folded into a spatial axis (dice is a voxel sum, so layout is
-    irrelevant as long as probs and targets align).  Binary (0/1 float)
-    targets for out_classes == 2, integer class labels otherwise."""
-    from ..metrics.dice import get_dice_loss
+    """Soft dice loss from PACKED logits and fine targets, accumulated per
+    sub-position over strided target views — dice is a voxel sum, so
+    summing (tp, fp, fn) per (sub-position, class) is exact.
 
+    No pack2 of the targets and no sub-axis reshape of the logits: the
+    earlier formulation routed the fine targets through pack2, whose
+    (N, D/2, 2, H/2, 2, W/2, 2, 1) transpose intermediate XLA materializes
+    with a 2-element axis lane-padded to 128 — a 64x expansion, 1.7 GB per
+    192^3 volume and the single largest allocation of the packed train
+    graph (the batch-3 HBM OOM, experiments/midpoint_probe.py round 3).
+    Strided slices and contiguous channel-block softmaxes fuse into the
+    reductions instead.
+
+    Binary (0/1 float) targets for out_classes == 2, integer class labels
+    otherwise.  Matches `metrics.dice.get_dice_loss` numerics: f32 sums,
+    eps=1e-9 denominator, mean over (batch, class)."""
     n, d2, h2, w2, c8 = logits_packed.shape
     co = c8 // 8
-    probs = jax.nn.softmax(
-        logits_packed.reshape(n, d2, h2, w2, 8, co), axis=-1)
-    probs = probs.reshape(n, d2, h2, w2 * 8, co)
-    tp = P.pack2(targets_fine).reshape(n, d2, h2, w2 * 8, 1)
-    if co == 2:
-        onehot = jnp.concatenate([1.0 - tp, tp], axis=-1)
-    else:
-        onehot = jax.nn.one_hot(tp[..., 0].astype(jnp.int32), co,
-                                dtype=probs.dtype)
-    return jnp.mean(get_dice_loss(probs, onehot, spatial_dimensions=(1, 2, 3)))
+    t_all = targets_fine.astype(jnp.float32)
+    sp = (1, 2, 3)
+    tp = [jnp.zeros((n,), jnp.float32) for _ in range(co)]
+    fp = [jnp.zeros((n,), jnp.float32) for _ in range(co)]
+    fn = [jnp.zeros((n,), jnp.float32) for _ in range(co)]
+    for sd in range(2):
+        for sh in range(2):
+            for sw in range(2):
+                sub = (sd * 2 + sh) * 2 + sw  # pack2 sub-position-major
+                p = jax.nn.softmax(
+                    logits_packed[..., sub * co:(sub + 1) * co]
+                    .astype(jnp.float32), axis=-1)
+                t = t_all[:, sd::2, sh::2, sw::2, 0]
+                for c in range(co):
+                    pc = p[..., c]
+                    if co == 2:
+                        gc = t if c == 1 else 1.0 - t
+                    else:
+                        gc = (t == c).astype(jnp.float32)
+                    tp[c] = tp[c] + (pc * gc).sum(sp)
+                    fp[c] = fp[c] + (pc * (1.0 - gc)).sum(sp)
+                    fn[c] = fn[c] + ((1.0 - pc) * gc).sum(sp)
+    tp, fp, fn = (jnp.stack(a, -1) for a in (tp, fp, fn))  # (n, co)
+    dice = 2 * tp / (2 * tp + fp + fn + 1e-9)
+    return jnp.mean(1.0 - dice)

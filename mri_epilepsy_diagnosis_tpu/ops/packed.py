@@ -240,6 +240,27 @@ def conv1_packed(xp, w, bias=None):
     return y
 
 
+def conv1_packed_blockdiag(xp, w, bias=None):
+    """`conv1_packed` without the sub-axis reshape: contract the full 8Ci
+    channel dim against a block-diagonal (8Ci, 8Co) weight, kron(I_8, w).
+
+    The (…, 8, Ci) reshape in `conv1_packed` makes XLA relayout its input
+    W-minor so the reshape becomes a bitcast — a full extra pass over the
+    decoder output (copy.483: 3.6 GB/step, ~9 ms of the b16 192^3 inference
+    graph, experiments/infer_copy_hunt.py round 3).  The dense block-diag
+    dot keeps the lane-major layout; the 8x head-FLOP inflation is nothing
+    (the head is 1x1x1 with Ci=16)."""
+    w = w.reshape(w.shape[-2], w.shape[-1])
+    wb = jnp.kron(jnp.eye(8, dtype=w.dtype), w)
+    y = jnp.einsum("ndhwi,io->ndhwo", xp, wb.astype(xp.dtype),
+                   precision=F._precision_for(xp.dtype),
+                   preferred_element_type=F._preferred_for(xp, jnp.float32)
+                   ).astype(xp.dtype)
+    if bias is not None:
+        y = y + jnp.tile(bias, 8).astype(y.dtype)
+    return y
+
+
 # ---------------------------------------------------------------------------
 # elementwise / norm / pool / resize
 # ---------------------------------------------------------------------------

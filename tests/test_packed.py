@@ -75,6 +75,36 @@ def test_conv1_packed_and_concat(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_maxpool_cascade_and_head_blockdiag_variants(rng, monkeypatch):
+    """The env-pinned alternates (cascade maxpool, blockdiag head) are
+    bit-equal to the reshape formulations, standalone and through the full
+    v2 apply (they exist to dodge XLA relayout copies on TPU — see
+    experiments/infer_variants_ab.py)."""
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 16)), jnp.float32)
+    xp = P.pack2(x)
+    np.testing.assert_array_equal(np.asarray(P.maxpool2_packed(xp)),
+                                  np.asarray(P.maxpool2_packed_cascade(xp)))
+    w = jnp.asarray(rng.normal(size=(1, 1, 1, 16, 3)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(3,)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(P.conv1_packed(xp, w, b)),
+        np.asarray(P.conv1_packed_blockdiag(xp, w, b)), rtol=1e-6, atol=1e-6)
+
+    from mri_epilepsy_diagnosis_tpu.models import UNet3D
+    from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
+        packed_unet_apply_v2)
+    model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
+                   out_channels_first_layer=8)
+    v = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)))
+    xin = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)), jnp.float32)
+    base = packed_unet_apply_v2(v, xin)
+    monkeypatch.setenv("MRI_TPU_MAXPOOL", "cascade")
+    monkeypatch.setenv("MRI_TPU_HEAD", "blockdiag")
+    alt = packed_unet_apply_v2(v, xin)
+    np.testing.assert_allclose(np.asarray(alt), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_conv3_packed_as_matches_fine(rng):
     """aligned -> shifted conv: unshifting via pack2_shifted comparison."""
     x = jnp.asarray(rng.normal(size=(2, 10, 10, 10, 3)), jnp.float32)
