@@ -24,22 +24,25 @@ from ..ops import packed as P
 
 
 def _maxpool(xp):
-    """Env-pinned maxpool formulation (A/B inside the full graph —
-    experiments/infer_variants_ab.py): `reshape` = sub-axis reshape +
-    reduce_max (XLA relays the input W-minor: 3.6 GB/step at b16 192^3),
-    `cascade` = three lane-block halvings that fuse into the producer."""
+    """Env-pinned maxpool formulation.  Full-graph A/B at b8 192^3
+    (experiments/infer_variants_ab.py, round 3): `reshape` (sub-axis
+    reshape + reduce_max) 228.1 ms/step vs `cascade` (three lane-block
+    halvings) 232.1 — the 3.6 GB relayout copy the reshape forces is
+    cheaper than the cascade's extra full-tensor max passes, so reshape
+    stays the default."""
     if os.environ.get("MRI_TPU_MAXPOOL", "reshape") == "cascade":
         return P.maxpool2_packed_cascade(xp)
     return P.maxpool2_packed(xp)
 
 
 def _head_conv(xp, head):
-    """Env-pinned classifier-head formulation (same A/B): `reshape` =
-    per-sub einsum over a (…, 8, Ci) view, `blockdiag` = kron(I_8, w) dot
-    with no reshape (keeps the lane-major layout)."""
-    fn = (P.conv1_packed_blockdiag
-          if os.environ.get("MRI_TPU_HEAD", "reshape") == "blockdiag"
-          else P.conv1_packed)
+    """Env-pinned classifier-head formulation.  Same A/B: `blockdiag`
+    (kron(I_8, w) dot, no sub-axis reshape, keeps the lane-major layout)
+    226.0 ms/step vs `reshape` (per-sub einsum over a (…, 8, Ci) view)
+    228.1 — blockdiag is the default."""
+    fn = (P.conv1_packed
+          if os.environ.get("MRI_TPU_HEAD", "blockdiag") == "reshape"
+          else P.conv1_packed_blockdiag)
     return fn(xp, head["weight"], head.get("bias"))
 
 
