@@ -396,46 +396,37 @@ def packed_unet_train_apply(variables, x, num_encoding_blocks: int = 3,
 
 
 def packed_dice_loss(logits_packed, targets_fine):
-    """Soft dice loss from PACKED logits and fine targets, accumulated per
-    sub-position over strided target views — dice is a voxel sum, so
-    summing (tp, fp, fn) per (sub-position, class) is exact.
-
-    No pack2 of the targets and no sub-axis reshape of the logits: the
-    earlier formulation routed the fine targets through pack2, whose
-    (N, D/2, 2, H/2, 2, W/2, 2, 1) transpose intermediate XLA materializes
+    """Soft dice loss from PACKED logits and fine targets — the sub-position
+    axis is folded into a spatial axis (dice is a voxel sum, so layout is
+    irrelevant as long as probs and targets align).  The targets are packed
+    with the identity stride-2 conv (`ops.packed.pack2_conv`), NOT pack2:
+    the transpose pack materializes its (N, D/2, 2, ..., 2, 1) intermediate
     with a 2-element axis lane-padded to 128 — a 64x expansion, 1.7 GB per
     192^3 volume and the single largest allocation of the packed train
     graph (the batch-3 HBM OOM, experiments/midpoint_probe.py round 3).
-    Strided slices and contiguous channel-block softmaxes fuse into the
-    reductions instead.
 
     Binary (0/1 float) targets for out_classes == 2, integer class labels
-    otherwise.  Matches `metrics.dice.get_dice_loss` numerics: f32 sums,
-    eps=1e-9 denominator, mean over (batch, class)."""
+    otherwise.
+
+    History (round 3): the first fix replaced pack2 with per-sub-position
+    strided target views — memory-clean but 47 ms/step SLOWER at b2 (the
+    VJP of each of the 8 logit channel slices is a zero-pad back to the
+    full 128 channels: eight extra full-tensor passes in the backward).
+    The identity-conv pack keeps the single-softmax formulation (no logit
+    slices, so the backward is untouched) and targets carry no gradient,
+    so the conv has no VJP cost either."""
+    from ..metrics.dice import get_dice_loss
+
     n, d2, h2, w2, c8 = logits_packed.shape
     co = c8 // 8
-    t_all = targets_fine.astype(jnp.float32)
-    sp = (1, 2, 3)
-    tp = [jnp.zeros((n,), jnp.float32) for _ in range(co)]
-    fp = [jnp.zeros((n,), jnp.float32) for _ in range(co)]
-    fn = [jnp.zeros((n,), jnp.float32) for _ in range(co)]
-    for sd in range(2):
-        for sh in range(2):
-            for sw in range(2):
-                sub = (sd * 2 + sh) * 2 + sw  # pack2 sub-position-major
-                p = jax.nn.softmax(
-                    logits_packed[..., sub * co:(sub + 1) * co]
-                    .astype(jnp.float32), axis=-1)
-                t = t_all[:, sd::2, sh::2, sw::2, 0]
-                for c in range(co):
-                    pc = p[..., c]
-                    if co == 2:
-                        gc = t if c == 1 else 1.0 - t
-                    else:
-                        gc = (t == c).astype(jnp.float32)
-                    tp[c] = tp[c] + (pc * gc).sum(sp)
-                    fp[c] = fp[c] + (pc * (1.0 - gc)).sum(sp)
-                    fn[c] = fn[c] + ((1.0 - pc) * gc).sum(sp)
-    tp, fp, fn = (jnp.stack(a, -1) for a in (tp, fp, fn))  # (n, co)
-    dice = 2 * tp / (2 * tp + fp + fn + 1e-9)
-    return jnp.mean(1.0 - dice)
+    probs = jax.nn.softmax(
+        logits_packed.reshape(n, d2, h2, w2, 8, co), axis=-1)
+    probs = probs.reshape(n, d2, h2, w2 * 8, co)
+    tp = P.pack2_conv(targets_fine.astype(jnp.float32)).reshape(
+        n, d2, h2, w2 * 8, 1)
+    if co == 2:
+        onehot = jnp.concatenate([1.0 - tp, tp], axis=-1)
+    else:
+        onehot = jax.nn.one_hot(tp[..., 0].astype(jnp.int32), co,
+                                dtype=probs.dtype)
+    return jnp.mean(get_dice_loss(probs, onehot, spatial_dimensions=(1, 2, 3)))

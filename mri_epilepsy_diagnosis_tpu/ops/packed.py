@@ -70,6 +70,38 @@ def unpack2(y):
     return y.reshape(n, 2 * d2, 2 * h2, 2 * w2, c)
 
 
+@functools.lru_cache(maxsize=None)
+def _pack2_identity_kernel(c: int):
+    """(2,2,2,C,8C) identity space-to-depth kernel: one 1.0 per output
+    channel sub*C+i at tap (sd,sh,sw)=sub, matching pack2's channel order."""
+    k = np.zeros((2, 2, 2, c, 8 * c), np.float32)
+    for sd in range(2):
+        for sh in range(2):
+            for sw in range(2):
+                sub = (sd * 2 + sh) * 2 + sw
+                for i in range(c):
+                    k[sd, sh, sw, i, sub * c + i] = 1.0
+    return k
+
+
+def pack2_conv(x):
+    """pack2 via an identity stride-2 conv — exact (every output voxel is a
+    sum with one nonzero term).
+
+    The transpose form wins when XLA can fold it into an adjacent conv's
+    layouts (experiments/ab_pack2.py), but for a STANDALONE pack feeding
+    only elementwise/reduction ops — the training targets — the transpose
+    materializes its (N, D/2, 2, ..., 2, C) intermediate with a 2-element
+    axis lane-padded to 128: 64x expansion at C=1, 5.06 GB at 192^3 b3 and
+    that graph's HBM OOM (experiments/midpoint_probe.py round 3).  The conv
+    form never leaves (8,128)-friendly shapes."""
+    k = jnp.asarray(_pack2_identity_kernel(x.shape[-1]), x.dtype)
+    return lax.conv_general_dilated(
+        x, k, window_strides=(2, 2, 2), padding="VALID",
+        dimension_numbers=F.CONV3D_DIMS,
+        precision=F._precision_for(x.dtype))
+
+
 def pack2_shifted(x):
     """Packing of the volume shifted by +1 voxel per axis (one leading and
     one trailing zero plane), the input form `conv3_packed` consumes:

@@ -75,6 +75,14 @@ def test_conv1_packed_and_concat(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pack2_conv_matches_pack2(rng):
+    """The identity-conv space-to-depth (used to pack training targets —
+    see packed_dice_loss) is bit-equal to the transpose pack2."""
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 3)), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(P.pack2_conv(x)),
+                                  np.asarray(P.pack2(x)))
+
+
 def test_maxpool_cascade_and_head_blockdiag_variants(rng, monkeypatch):
     """The env-pinned alternates (cascade maxpool, blockdiag head) are
     bit-equal to the reshape formulations, standalone and through the full
