@@ -177,6 +177,30 @@ def _block_sa(xs, params, stats):
 def packed_unet_apply_v2(variables, x, num_encoding_blocks: int = 3):
     """Fine (N,S,S,S,1) -> logits (N,S,S,S,out_classes), matching
     `UNet3D(...).apply(variables, x)` (eval mode), zero repacks."""
+    return P.unpack2(_trunk_v2(variables, x, num_encoding_blocks))
+
+
+def packed_unet_mask_v2(variables, x, num_encoding_blocks: int = 3):
+    """Fine (N,S,S,S,1) -> int32 mask (N,S,S,S), equal to
+    `argmax(packed_unet_apply_v2(...), -1)` for out_classes == 2.
+
+    The argmax epilogue on fine logits costs ~14 ms/step (iota+reduce) plus
+    the full 2-class unpack2 transpose at b16 192^3
+    (experiments/infer_copy_hunt.py round 3); comparing the class channel
+    pairs in packed space (l1 > l0 — same tie-breaking as argmax, which
+    keeps class 0 on ties) and unpacking the 1-channel mask instead halves
+    the epilogue traffic.  Inference-only (the strided channel slices would
+    cost pad-VJPs under autodiff)."""
+    yp = _trunk_v2(variables, x, num_encoding_blocks)
+    if yp.shape[-1] != 16:
+        raise ValueError("packed_unet_mask_v2 needs out_classes == 2; got "
+                         f"{yp.shape[-1] // 8} classes")
+    mask = (yp[..., 1::2] > yp[..., 0::2]).astype(jnp.int32)
+    return P.unpack2(mask)[..., 0]
+
+
+def _trunk_v2(variables, x, num_encoding_blocks: int = 3):
+    """Shared v2 forward: fine input -> ALIGNED packed head output."""
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     nb = num_encoding_blocks
@@ -212,8 +236,7 @@ def packed_unet_apply_v2(variables, x, num_encoding_blocks: int = 3):
         xp = _block_sa(xs, blk["conv2"], bst.get("conv2", {}))
 
     head = params["classifier"]["conv_layer"]
-    yp = _head_conv(xp, head)
-    return P.unpack2(yp)
+    return _head_conv(xp, head)
 
 
 # ---------------------------------------------------------------------------

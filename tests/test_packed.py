@@ -75,6 +75,26 @@ def test_conv1_packed_and_concat(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_packed_mask_v2_matches_argmax(rng):
+    """The packed-space class compare (serving mask path) equals argmax of
+    the fine logits, including argmax's keep-class-0 tie-breaking."""
+    from mri_epilepsy_diagnosis_tpu.models import UNet3D
+    from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
+        packed_unet_apply_v2, packed_unet_mask_v2)
+    model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
+                   out_channels_first_layer=8)
+    v = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)))
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 1)), jnp.float32)
+    ref = jnp.argmax(packed_unet_apply_v2(v, x), -1)
+    np.testing.assert_array_equal(np.asarray(packed_unet_mask_v2(v, x)),
+                                  np.asarray(ref))
+    model3 = UNet3D(in_channels=1, out_classes=3, num_encoding_blocks=3,
+                    out_channels_first_layer=8)
+    v3 = model3.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)))
+    with pytest.raises(ValueError, match="out_classes == 2"):
+        packed_unet_mask_v2(v3, x)
+
+
 def test_pack2_conv_matches_pack2(rng):
     """The identity-conv space-to-depth (used to pack training targets —
     see packed_dice_loss) is bit-equal to the transpose pack2."""
