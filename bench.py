@@ -81,12 +81,13 @@ def bench_infer(model, variables, size, batch, iters, packed=False):
     parity with `model.apply` is test- and checkpoint-verified."""
     if packed:
         from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
-            packed_unet_apply_v2)
+            packed_unet_mask_v2)
 
+        # packed-space mask epilogue: 44.2 vs 41.6 vol/s over argmax-on-
+        # fine-logits at b16 (experiments/mask_epilogue_ab.py, round 3)
         @jax.jit
         def infer(variables, x):
-            return jnp.argmax(packed_unet_apply_v2(variables, x),
-                              axis=-1).sum()
+            return packed_unet_mask_v2(variables, x).sum()
     else:
         @jax.jit
         def infer(variables, x):
@@ -129,14 +130,15 @@ def bench_ensemble(size, batch, iters):
     from mri_epilepsy_diagnosis_tpu.models.fader_packed import (
         encoder_apply_packed)
     from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
-        packed_unet_apply_v2)
+        packed_unet_mask_v2)
 
     # encoder runs the packed layout too (r3): full-graph A/B 30.1 -> 33.7
     # vol/s at b8 (experiments/ensemble_packed_enc.py); the fused
-    # dense-kernel path had lost its A/B (fader.py `encoder_apply_fused`)
+    # dense-kernel path had lost its A/B (fader.py `encoder_apply_fused`).
+    # segmentation uses the packed-space mask epilogue (mask_epilogue_ab.py)
     @jax.jit
     def step(seg_v, enc_v, clf_v, x):
-        mask = jnp.argmax(packed_unet_apply_v2(seg_v, x), axis=-1)
+        mask = packed_unet_mask_v2(seg_v, x)
         latent, _ = encoder_apply_packed(enc_v, x, ae_kwargs)
         probs = jax.nn.softmax(clf.apply(clf_v, latent), axis=-1)
         return mask.sum() + probs.sum()
@@ -196,7 +198,7 @@ def _b16_cache_warm(size: int, timeout_s: int = 240) -> bool:
         " enable_compilation_cache\n"
         "from mri_epilepsy_diagnosis_tpu.models import UNet3D\n"
         "from mri_epilepsy_diagnosis_tpu.models.unet_packed import"
-        " packed_unet_apply_v2\n"
+        " packed_unet_mask_v2\n"
         "enable_compilation_cache()\n"
         "model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,"
         " out_channels_first_layer=8)\n"
@@ -204,8 +206,7 @@ def _b16_cache_warm(size: int, timeout_s: int = 240) -> bool:
         " jnp.zeros((1, 16, 16, 16, 1)))\n"
         "@jax.jit\n"
         "def infer(variables, x):\n"
-        "    return jnp.argmax(packed_unet_apply_v2(variables, x),\n"
-        "                      axis=-1).sum()\n"
+        "    return packed_unet_mask_v2(variables, x).sum()\n"
         f"x = jnp.asarray(np.random.default_rng(0).normal("
         f"size=(16, {size}, {size}, {size}, 1)), jnp.bfloat16)\n"
         "print(int(infer(variables, x)))\n")

@@ -53,7 +53,7 @@ def main():
     x = znormalization(jnp.asarray(vol[0], jnp.float32))[..., None]
 
     from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
-        packed_unet_apply_v2)
+        packed_unet_apply_v2, packed_unet_mask_v2)
 
     # the packed layout needs sizes divisible by 2^num_encoding_blocks;
     # fall back to the fine path for e.g. --img-size 180
@@ -64,9 +64,16 @@ def main():
         logits = sliding_window_predict(apply_fn, variables, x,
                                         patch_size=64, overlap=4,
                                         batch_size=16)
+        pred = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
+    elif use_packed:
+        # packed-space mask epilogue: skips the fine-logit argmax
+        # (experiments/mask_epilogue_ab.py)
+        pred = np.asarray(
+            jax.jit(packed_unet_mask_v2)(variables, x[None])[0]
+        ).astype(np.uint8)
     else:
         logits = jax.jit(apply_fn)(variables, x[None])[0]
-    pred = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
+        pred = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
     save_nifti(args.out, pred, img_nii.affine)
     print(f"saved {args.out}: {int(pred.sum())} foreground voxels")
 

@@ -31,7 +31,7 @@ enable_compilation_cache()
 def warm_infer_b16(size: int = 192) -> None:
     from mri_epilepsy_diagnosis_tpu.models import UNet3D
     from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
-        packed_unet_apply_v2)
+        packed_unet_mask_v2)
 
     model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
                    out_channels_first_layer=8)
@@ -39,7 +39,7 @@ def warm_infer_b16(size: int = 192) -> None:
 
     @jax.jit
     def infer(variables, x):
-        return jnp.argmax(packed_unet_apply_v2(variables, x), axis=-1).sum()
+        return packed_unet_mask_v2(variables, x).sum()
 
     x = jnp.asarray(np.random.default_rng(0)
                     .normal(size=(16, size, size, size, 1)), jnp.bfloat16)

@@ -20,11 +20,13 @@ from ..data.pipeline import DevicePrefetcher
 _STEP_CACHE: dict = {}
 
 
-def _serving_step(apply_fn, classify_fn, dtype, device_preprocess=None):
-    """One jitted step per (apply_fn, classify_fn, dtype, device_preprocess):
-    repeated segment_volumes calls must not re-trace (remote compiles cost
-    minutes)."""
-    key = (apply_fn, classify_fn, jnp.dtype(dtype).name, device_preprocess)
+def _serving_step(apply_fn, classify_fn, dtype, device_preprocess=None,
+                  mask_fn=None):
+    """One jitted step per (apply_fn, classify_fn, dtype, device_preprocess,
+    mask_fn): repeated segment_volumes calls must not re-trace (remote
+    compiles cost minutes)."""
+    key = (apply_fn, classify_fn, jnp.dtype(dtype).name, device_preprocess,
+           mask_fn)
     if key in _STEP_CACHE:
         # LRU, not FIFO: re-insert on hit so a server cycling through many
         # step combos never evicts its hottest compiled step (remote
@@ -39,8 +41,14 @@ def _serving_step(apply_fn, classify_fn, dtype, device_preprocess=None):
             if device_preprocess is not None:
                 batch = device_preprocess(batch)
             x = batch.astype(dtype)
-            logits = apply_fn(variables, x)
-            out = {"mask": jnp.argmax(logits, axis=-1).astype(jnp.uint8)}
+            if mask_fn is not None:
+                # e.g. models.unet_packed.packed_unet_mask_v2: in-packed-
+                # space class compare, ~6% faster than argmax-on-logits at
+                # b16 192^3 (experiments/mask_epilogue_ab.py)
+                out = {"mask": mask_fn(variables, x).astype(jnp.uint8)}
+            else:
+                logits = apply_fn(variables, x)
+                out = {"mask": jnp.argmax(logits, axis=-1).astype(jnp.uint8)}
             if classify_fn is not None:
                 out["probs"] = jax.nn.softmax(
                     classify_fn(variables, x), axis=-1)
@@ -70,11 +78,16 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
                     classify_fn: Optional[Callable] = None,
                     sharding=None,
                     device_preprocess: Optional[Callable] = None,
-                    transfer_dtype=None) -> Iterator[dict]:
+                    transfer_dtype=None,
+                    mask_fn: Optional[Callable] = None) -> Iterator[dict]:
     """Stream (D,H,W) or (D,H,W,1) volumes -> dicts with 'mask' (uint8) and
     optionally 'probs' from a classifier head.
 
-    apply_fn(variables, batch) -> logits (B, D, H, W, classes).
+    apply_fn(variables, batch) -> logits (B, D, H, W, classes).  With
+    `mask_fn` given (stable callable, e.g. `packed_unet_mask_v2`), the step
+    calls mask_fn(variables, batch) -> int mask directly instead of
+    argmax(apply_fn(...)) — the packed-space compare is ~6% faster at b16
+    192^3 (experiments/mask_epilogue_ab.py).
     `preprocess` runs per-volume on host (numpy/jnp) before batching.
     `sharding` places batches on a mesh (data-parallel serving).
 
@@ -109,7 +122,8 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
             v = v[..., None]
         return v
 
-    step = _serving_step(apply_fn, classify_fn, dtype, device_preprocess)
+    step = _serving_step(apply_fn, classify_fn, dtype, device_preprocess,
+                         mask_fn)
 
     counts: list = []
 

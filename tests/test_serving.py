@@ -57,6 +57,31 @@ def test_segment_volumes_stream(rng):
         _F.set_precision_override(None)
 
 
+def test_segment_volumes_mask_fn(rng):
+    """Serving with the packed-space mask epilogue yields the same masks as
+    the argmax-on-logits step."""
+    from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
+        packed_unet_apply_v2, packed_unet_mask_v2)
+
+    _F.set_precision_override("fast")
+    try:
+        model = UNet3D(out_channels_first_layer=8, num_encoding_blocks=3)
+        v = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)))
+        vols = [rng.normal(size=(16, 16, 16)).astype(np.float32)
+                for _ in range(3)]
+        via_argmax = list(segment_volumes(
+            packed_unet_apply_v2, v, vols, batch_size=2, dtype=jnp.float32))
+        via_mask = list(segment_volumes(
+            packed_unet_apply_v2, v, vols, batch_size=2, dtype=jnp.float32,
+            mask_fn=packed_unet_mask_v2))
+        assert len(via_mask) == 3
+        for a, b in zip(via_argmax, via_mask):
+            np.testing.assert_array_equal(a["mask"], b["mask"])
+            assert b["mask"].dtype == np.uint8
+    finally:
+        _F.set_precision_override(None)
+
+
 def test_segment_volumes_device_preprocess(rng):
     """Raw int16 volumes transfer and normalize on-device; masks must match
     the host-preprocess float path."""
