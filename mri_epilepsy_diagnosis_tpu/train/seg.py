@@ -328,9 +328,14 @@ def validate_dsc_asd(state: TrainState, loader, packed: bool = False):
                            compute_dice_coefficient,
                            compute_surface_distances, get_iou_score)
 
+    packed_mask = False
     if packed:
-        from ..models.unet_packed import packed_unet_apply_v2
-        fwd = jax.jit(packed_unet_apply_v2)
+        from ..models.unet_packed import (packed_unet_apply_v2,
+                                          packed_unet_mask_v2)
+        out_c8 = state.params["classifier"]["conv_layer"]["weight"].shape[-1]
+        packed_mask = out_c8 == 2  # binary: packed-space mask epilogue
+        fwd = jax.jit(packed_unet_mask_v2 if packed_mask
+                      else packed_unet_apply_v2)
     else:
         fwd = lambda v, x: state.apply_fn(v, x, train=False)
 
@@ -338,8 +343,9 @@ def validate_dsc_asd(state: TrainState, loader, packed: bool = False):
     for batch in loader:
         inputs = jnp.asarray(batch[0])
         targets = np.asarray(binarize_segmentation(jnp.asarray(batch[1])))
-        logits = fwd(state.variables, inputs)
-        preds = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
+        out = fwd(state.variables, inputs)
+        preds = np.asarray(out if packed_mask
+                           else jnp.argmax(out, axis=-1)).astype(np.uint8)
         for i in range(preds.shape[0]):
             gt = targets[i, ..., 0].astype(np.uint8)
             pred = preds[i]
