@@ -123,6 +123,49 @@ def packed_unet_apply(variables, x, num_encoding_blocks: int = 3):
 # ---------------------------------------------------------------------------
 
 
+def fold_bn_inference(variables, eps: float = 1e-5):
+    """Fold eval-mode BatchNorm into the preceding conv's weights/bias.
+
+    BN running statistics live in the variables pytree, which jit treats as
+    *arguments* — XLA cannot constant-fold them away.  Folding once at the
+    variables level collapses every conv+BN pair to a conv with scaled
+    weights and an adjusted bias: with s = gamma / sqrt(var + eps),
+
+        BN(conv(x, W) + b) == conv(x, W * s) + (b * s + beta - mean * s).
+
+    Returns a `{"params": ...}` pytree with every `norm_layer` removed and
+    no `batch_stats`, consumable by all packed-v2 inference entry points
+    (`_apply_bn_act`/`_conv_block_packed` skip BN when the key is absent;
+    the decoder's w1 split/scale commute with the per-out-channel fold).
+    Inference only — training needs live batch statistics.  eps matches
+    `ops.packed.batch_norm_packed`.
+    """
+    stats = variables.get("batch_stats", {})
+
+    def _fold(params, st):
+        if not isinstance(params, dict):
+            return params
+        out = {}
+        for k, v in params.items():
+            sub = st.get(k, {}) if isinstance(st, dict) else {}
+            if isinstance(v, dict) and "conv_layer" in v and "norm_layer" in v:
+                nl, nst = v["norm_layer"], sub.get("norm_layer", {})
+                s = nl["weight"] / jnp.sqrt(nst["running_var"] + eps)
+                conv = dict(v["conv_layer"])
+                conv["weight"] = conv["weight"] * s
+                b = conv.get("bias")
+                conv["bias"] = ((b * s if b is not None else 0.0)
+                                + nl["bias"] - nst["running_mean"] * s)
+                out[k] = {"conv_layer": conv,
+                          **{kk: vv for kk, vv in v.items()
+                             if kk not in ("conv_layer", "norm_layer")}}
+            else:
+                out[k] = _fold(v, sub) if isinstance(v, dict) else v
+        return out
+
+    return {"params": _fold(variables["params"], stats)}
+
+
 def _apply_bn_act(y, params, stats):
     if "norm_layer" in params:
         y = P.batch_norm_packed(

@@ -95,6 +95,45 @@ def test_packed_mask_v2_matches_argmax(rng):
         packed_unet_mask_v2(v3, x)
 
 
+def test_fold_bn_inference_matches_live_bn(rng):
+    """Folding eval-mode BN into conv weights/biases (fold_bn_inference)
+    reproduces the live-BN packed forward, including through the decoder's
+    w1 input-channel split (scale rides both w_s and the bias-less upconv
+    w_u; the folded bias lands on y_s once)."""
+    from mri_epilepsy_diagnosis_tpu.models import UNet3D
+    from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
+        fold_bn_inference, packed_unet_apply_v2, packed_unet_mask_v2)
+    model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
+                   out_channels_first_layer=8)
+    v = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)))
+
+    def randomize(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: randomize(val, path + (k,)) for k, val in tree.items()}
+        if path[-1:] == ("running_mean",):
+            return jnp.asarray(rng.normal(0, 0.3, tree.shape), tree.dtype)
+        if path[-1:] == ("running_var",):
+            return jnp.asarray(rng.uniform(0.5, 2.0, tree.shape), tree.dtype)
+        if path[-2:-1] == ("norm_layer",):
+            return jnp.asarray(rng.normal(1.0, 0.2, tree.shape), tree.dtype)
+        return tree
+
+    v = {"params": randomize(v["params"]),
+         "batch_stats": randomize(v["batch_stats"])}
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 1)), jnp.float32)
+    ref = packed_unet_apply_v2(v, x)
+    folded = fold_bn_inference(v)
+    assert "batch_stats" not in folded
+    assert not any(
+        "norm_layer" in jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(folded["params"]))
+    out = packed_unet_apply_v2(folded, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(packed_unet_mask_v2(folded, x)),
+                                  np.asarray(packed_unet_mask_v2(v, x)))
+
+
 def test_pack2_conv_matches_pack2(rng):
     """The identity-conv space-to-depth (used to pack training targets —
     see packed_dice_loss) is bit-equal to the transpose pack2."""
