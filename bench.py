@@ -81,10 +81,14 @@ def bench_infer(model, variables, size, batch, iters, packed=False):
     parity with `model.apply` is test- and checkpoint-verified."""
     if packed:
         from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
-            packed_unet_mask_v2)
+            fold_bn_inference, packed_unet_mask_v2)
 
         # packed-space mask epilogue: 44.2 vs 41.6 vol/s over argmax-on-
-        # fine-logits at b16 (experiments/mask_epilogue_ab.py, round 3)
+        # fine-logits at b16 (experiments/mask_epilogue_ab.py, round 3);
+        # eval-BN folded into the conv weights: 43.7 vs 42.9 at b8
+        # (experiments/bn_fold_ab.py) and a smaller graph to compile
+        variables = fold_bn_inference(variables)
+
         @jax.jit
         def infer(variables, x):
             return packed_unet_mask_v2(variables, x).sum()
@@ -130,12 +134,15 @@ def bench_ensemble(size, batch, iters, probe_only=False):
     from mri_epilepsy_diagnosis_tpu.models.fader_packed import (
         encoder_apply_packed)
     from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
-        packed_unet_mask_v2)
+        fold_bn_inference, packed_unet_mask_v2)
+
+    seg_v = fold_bn_inference(seg_v)
 
     # encoder runs the packed layout too (r3): full-graph A/B 30.1 -> 33.7
     # vol/s at b8 (experiments/ensemble_packed_enc.py); the fused
     # dense-kernel path had lost its A/B (fader.py `encoder_apply_fused`).
     # segmentation uses the packed-space mask epilogue (mask_epilogue_ab.py)
+    # with eval-BN folded into the conv weights (experiments/bn_fold_ab.py)
     @jax.jit
     def step(seg_v, enc_v, clf_v, x):
         mask = packed_unet_mask_v2(seg_v, x)
@@ -267,12 +274,13 @@ def _b16_cache_warm(size: int, timeout_s: int = 900) -> bool:
         " enable_compilation_cache\n"
         "from mri_epilepsy_diagnosis_tpu.models import UNet3D\n"
         "from mri_epilepsy_diagnosis_tpu.models.unet_packed import"
-        " packed_unet_mask_v2\n"
+        " fold_bn_inference, packed_unet_mask_v2\n"
         "enable_compilation_cache()\n"
         "model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,"
         " out_channels_first_layer=8)\n"
         "variables = model.init(jax.random.key(0),"
         " jnp.zeros((1, 16, 16, 16, 1)))\n"
+        "variables = fold_bn_inference(variables)\n"
         "@jax.jit\n"
         "def infer(variables, x):\n"
         "    return packed_unet_mask_v2(variables, x).sum()\n"

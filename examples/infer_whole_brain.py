@@ -66,10 +66,14 @@ def main():
                                         batch_size=16)
         pred = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
     elif use_packed:
-        # packed-space mask epilogue: skips the fine-logit argmax
-        # (experiments/mask_epilogue_ab.py)
+        # packed-space mask epilogue (experiments/mask_epilogue_ab.py) on
+        # BN-folded weights (exact; experiments/bn_fold_ab.py): skips the
+        # fine-logit argmax and every eval-BN scale/shift
+        from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
+            fold_bn_inference)
         pred = np.asarray(
-            jax.jit(packed_unet_mask_v2)(variables, x[None])[0]
+            jax.jit(packed_unet_mask_v2)(fold_bn_inference(variables),
+                                         x[None])[0]
         ).astype(np.uint8)
     else:
         logits = jax.jit(apply_fn)(variables, x[None])[0]

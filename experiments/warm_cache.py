@@ -31,11 +31,12 @@ enable_compilation_cache()
 def warm_infer_b16(size: int = 192) -> None:
     from mri_epilepsy_diagnosis_tpu.models import UNet3D
     from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
-        packed_unet_mask_v2)
+        fold_bn_inference, packed_unet_mask_v2)
 
     model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
                    out_channels_first_layer=8)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)))
+    variables = fold_bn_inference(variables)  # matches bench_infer(packed)
 
     @jax.jit
     def infer(variables, x):

@@ -87,7 +87,9 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
     `mask_fn` given (stable callable, e.g. `packed_unet_mask_v2`), the step
     calls mask_fn(variables, batch) -> int mask directly instead of
     argmax(apply_fn(...)) — the packed-space compare is ~6% faster at b16
-    192^3 (experiments/mask_epilogue_ab.py).
+    192^3 (experiments/mask_epilogue_ab.py).  For eval-only serving, pass
+    `variables = models.unet_packed.fold_bn_inference(variables)` — exact,
+    ~2% faster still, smaller graph (experiments/bn_fold_ab.py).
     `preprocess` runs per-volume on host (numpy/jnp) before batching.
     `sharding` places batches on a mesh (data-parallel serving).
 
