@@ -329,13 +329,20 @@ def validate_dsc_asd(state: TrainState, loader, packed: bool = False):
                            compute_surface_distances, get_iou_score)
 
     packed_mask = False
+    variables = state.variables
     if packed:
-        from ..models.unet_packed import (packed_unet_apply_v2,
+        from ..models.unet_packed import (fold_bn_inference,
+                                          packed_unet_apply_v2,
                                           packed_unet_mask_v2)
         out_c8 = state.params["classifier"]["conv_layer"]["weight"].shape[-1]
         packed_mask = out_c8 == 2  # binary: packed-space mask epilogue
         fwd = jax.jit(packed_unet_mask_v2 if packed_mask
                       else packed_unet_apply_v2)
+        # eval-only: bake the current BN stats into the conv weights (exact,
+        # ~2% faster + smaller graph — experiments/bn_fold_ab.py); host-side
+        # math on the small param pytree, re-derived per call so sweeps see
+        # each checkpoint's own statistics
+        variables = fold_bn_inference(variables)
     else:
         fwd = lambda v, x: state.apply_fn(v, x, train=False)
 
@@ -343,7 +350,7 @@ def validate_dsc_asd(state: TrainState, loader, packed: bool = False):
     for batch in loader:
         inputs = jnp.asarray(batch[0])
         targets = np.asarray(binarize_segmentation(jnp.asarray(batch[1])))
-        out = fwd(state.variables, inputs)
+        out = fwd(variables, inputs)
         preds = np.asarray(out if packed_mask
                            else jnp.argmax(out, axis=-1)).astype(np.uint8)
         for i in range(preds.shape[0]):
