@@ -78,6 +78,15 @@ def test_segment_volumes_mask_fn(rng):
         for a, b in zip(via_argmax, via_mask):
             np.testing.assert_array_equal(a["mask"], b["mask"])
             assert b["mask"].dtype == np.uint8
+        # the recommended serving config: BN-folded variables + mask_fn
+        # (docs/USAGE.md) — same masks again
+        from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
+            fold_bn_inference)
+        via_folded = list(segment_volumes(
+            packed_unet_apply_v2, fold_bn_inference(v), vols, batch_size=2,
+            dtype=jnp.float32, mask_fn=packed_unet_mask_v2))
+        for a, b in zip(via_argmax, via_folded):
+            np.testing.assert_array_equal(a["mask"], b["mask"])
     finally:
         _F.set_precision_override(None)
 
