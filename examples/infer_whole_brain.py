@@ -60,20 +60,23 @@ def main():
     use_packed = not args.fine and args.img_size % 8 == 0
     apply_fn = (packed_unet_apply_v2 if use_packed
                 else (lambda v, b: model.apply(v, b)))
+    if use_packed:
+        # bake eval-BN into the conv weights — exact, ~2% faster, smaller
+        # graph (experiments/bn_fold_ab.py); packed entry points skip BN
+        # when the key is absent (the fine model.apply path needs it live)
+        from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
+            fold_bn_inference)
+        variables = fold_bn_inference(variables)
     if args.sliding_window:
         logits = sliding_window_predict(apply_fn, variables, x,
                                         patch_size=64, overlap=4,
                                         batch_size=16)
         pred = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
     elif use_packed:
-        # packed-space mask epilogue (experiments/mask_epilogue_ab.py) on
-        # BN-folded weights (exact; experiments/bn_fold_ab.py): skips the
-        # fine-logit argmax and every eval-BN scale/shift
-        from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
-            fold_bn_inference)
+        # packed-space mask epilogue: skips the fine-logit argmax
+        # (experiments/mask_epilogue_ab.py); variables already BN-folded
         pred = np.asarray(
-            jax.jit(packed_unet_mask_v2)(fold_bn_inference(variables),
-                                         x[None])[0]
+            jax.jit(packed_unet_mask_v2)(variables, x[None])[0]
         ).astype(np.uint8)
     else:
         logits = jax.jit(apply_fn)(variables, x[None])[0]
