@@ -187,3 +187,40 @@ def test_segment_volumes_flushes_on_stream_pause(rng):
             assert r["mask"].shape == (16, 16, 16)
     finally:
         _F.set_precision_override(None)
+
+
+def test_step_cache_evicts_lru_not_fifo():
+    """A hot step must survive cache-bound eviction (serving.py:30-37).
+
+    Remote TPU recompiles cost minutes; if the bound cache evicted in FIFO
+    order, a server cycling through >16 (apply_fn, dtype, ...) combos would
+    repeatedly evict its hottest compiled step.  Pure-Python: _serving_step
+    only builds the jitted closure, nothing compiles until it is called.
+    """
+    from mri_epilepsy_diagnosis_tpu.infer import serving as S
+
+    saved = dict(S._STEP_CACHE)
+    S._STEP_CACHE.clear()
+    try:
+        def make_apply(i):
+            def apply_fn(vv, b, _i=i):
+                return b
+            return apply_fn
+
+        fns = [make_apply(i) for i in range(17)]
+        for f in fns[:16]:
+            S._serving_step(f, None, jnp.float32)
+        assert len(S._STEP_CACHE) == 16
+
+        hot = S._serving_step(fns[0], None, jnp.float32)  # touch the oldest
+        S._serving_step(fns[16], None, jnp.float32)       # force an eviction
+
+        assert len(S._STEP_CACHE) == 16
+        # LRU: the re-touched fns[0] step survives; FIFO would have evicted it
+        assert S._serving_step(fns[0], None, jnp.float32) is hot
+        # and the actual victim was the least-recently-used entry, fns[1]
+        keys = {k[0] for k in S._STEP_CACHE}
+        assert fns[1] not in keys and fns[16] in keys
+    finally:
+        S._STEP_CACHE.clear()
+        S._STEP_CACHE.update(saved)
