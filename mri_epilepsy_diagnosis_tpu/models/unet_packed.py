@@ -242,26 +242,31 @@ def packed_unet_mask_v2(variables, x, num_encoding_blocks: int = 3):
     return P.unpack2(mask)[..., 0]
 
 
-def _trunk_v2(variables, x, num_encoding_blocks: int = 3):
-    """Shared v2 forward: fine input -> ALIGNED packed head output."""
+def _trunk_v2(variables, x, num_encoding_blocks: int = 3, tap=None):
+    """Shared v2 forward: fine input -> ALIGNED packed head output.
+
+    `tap(name, tensor) -> tensor` is an optional identity hook called at
+    every conv-input site (the int8 calibration pass records per-site
+    absmax through it — see models/unet_packed_q.py)."""
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     nb = num_encoding_blocks
+    t = (lambda name, v: v) if tap is None else tap
 
-    xp = P.pack2(x)
+    xp = t("in", P.pack2(x))
     skips = []
     for i in range(nb - 1):
         blk = params["encoder"][f"encoding_blocks__{i}"]
         bst = stats.get("encoder", {}).get(f"encoding_blocks__{i}", {})
-        xs = _block_as(xp, blk["conv1"], bst.get("conv1", {}))
-        xp = _block_sa(xs, blk["conv2"], bst.get("conv2", {}))
+        xs = t(f"e{i}c1", _block_as(xp, blk["conv1"], bst.get("conv1", {})))
+        xp = t(f"e{i}c2", _block_sa(xs, blk["conv2"], bst.get("conv2", {})))
         skips.append(xp)
         xp = _maxpool(xp)
 
     blk = params["bottom_block"]
     bst = stats.get("bottom_block", {})
-    xs = _block_as(xp, blk["conv1"], bst.get("conv1", {}))
-    xp = _block_sa(xs, blk["conv2"], bst.get("conv2", {}))
+    xs = t("bc1", _block_as(xp, blk["conv1"], bst.get("conv1", {})))
+    xp = t("bc2", _block_sa(xs, blk["conv2"], bst.get("conv2", {})))
 
     for i in range(nb - 1):
         blk = params["decoder"][f"decoding_blocks__{i}"]
@@ -275,8 +280,8 @@ def _trunk_v2(variables, x, num_encoding_blocks: int = 3):
         y_u = P.upconv_packed(xp, P.pack_upconv_weights(w_u))
         y_u = P.upconv_fix_faces(y_u, xp, w_u)
         y = _apply_bn_act(y_s + y_u, blk["conv1"], bst.get("conv1", {}))
-        xs = P.zero_shifted_pads(y)
-        xp = _block_sa(xs, blk["conv2"], bst.get("conv2", {}))
+        xs = t(f"d{i}c1", P.zero_shifted_pads(y))
+        xp = t(f"d{i}c2", _block_sa(xs, blk["conv2"], bst.get("conv2", {})))
 
     head = params["classifier"]["conv_layer"]
     return _head_conv(xp, head)

@@ -704,29 +704,37 @@ def _conv2d_pad1(x2, w2):
     ).astype(x2.dtype)
 
 
-def _upconv_face(x_aligned, w_u, axis, side):
+def _upconv_face(x_aligned, w_u, axis, side, dequant_scale=None):
     """Exact up-path output on the fine boundary plane of `axis`
     (side 0: fine f=0; side 1: fine f=Sf-1), returned as a SHIFTED packed
     2-D plane (N, Sf/2+1, Sf/2+1, 4Co) over the other two axes.
 
     The two axis-taps are fused into ONE 2-D conv over channel-concatenated
     upsampled planes (resize_linear is linear, so the two `up` planes are
-    combinations of two shared resized coarse planes)."""
+    combinations of two shared resized coarse planes).
+
+    `dequant_scale`: when `x_aligned` is an int8 quantized tensor (the
+    int8 inference path, models/unet_packed_q.py), its boundary planes are
+    dequantized to `w_u.dtype` AFTER slicing (faces are thin, so the full
+    tensor never materializes in float)."""
+    dt = w_u.dtype if dequant_scale is not None else x_aligned.dtype
+
+    def _plane(idx):
+        p = _unpack2_2d(_coarse_fine_plane(x_aligned, axis, idx))
+        if dequant_scale is not None:
+            p = p.astype(dt) * dequant_scale
+        return p
+
     if side == 0:
-        pl0 = _unpack2_2d(_coarse_fine_plane(x_aligned, axis, 0))
-        pl1 = _unpack2_2d(_coarse_fine_plane(x_aligned, axis, 1))
-        planes, taps = (pl0, pl1), (1, 2)
+        planes, taps = (_plane(0), _plane(1)), (1, 2)
         # up[g=0] = p0 (clamped); up[g=1] = .75 p0 + .25 p1
         mix = ((1.0, 0.0), (0.75, 0.25))
     else:
-        plm2 = _unpack2_2d(_coarse_fine_plane(x_aligned, axis, -2))
-        plm1 = _unpack2_2d(_coarse_fine_plane(x_aligned, axis, -1))
-        planes, taps = (plm2, plm1), (0, 1)
+        planes, taps = (_plane(-2), _plane(-1)), (0, 1)
         # up[Sf-2] = .25 p[-2] + .75 p[-1]; up[Sf-1] = p[-1] (clamped)
         mix = ((0.25, 0.75), (0.0, 1.0))
     sf_half = tuple(s * 2 for s in planes[0].shape[1:3])
-    r = [jnp.asarray(F.resize_linear(p, sf_half), x_aligned.dtype)
-         for p in planes]
+    r = [jnp.asarray(F.resize_linear(p, sf_half), dt) for p in planes]
     ups = [a * r[0] + b * r[1] if b else a * r[0] for (a, b) in mix]
     u_cat = jnp.concatenate(ups, axis=-1)
     # after dropping the `axis` spatial dim each slice is (3, 3, Ci, Co)
@@ -782,7 +790,7 @@ def _embed_face(face, axis, side, out_shape):
     return jnp.pad(f, pad)
 
 
-def upconv_fix_faces(ys, x_aligned, w_u):
+def upconv_fix_faces(ys, x_aligned, w_u, dequant_scale=None):
     """Overwrite the six boundary fine planes of `upconv_packed`'s output
     with exactly-computed values (fine-path zero-padding semantics).
 
@@ -804,7 +812,8 @@ def upconv_fix_faces(ys, x_aligned, w_u):
     for a in range(3):
         others = [ax for ax in range(3) if ax != a]
         for side in (0, 1):
-            face = _upconv_face(x_aligned, w_u, a, side).astype(dtype)
+            face = _upconv_face(x_aligned, w_u, a, side,
+                                dequant_scale).astype(dtype)
             for k, ax in enumerate(others):
                 if ax > a:
                     mk = jnp.asarray(_face_keep_mask(
