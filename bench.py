@@ -461,74 +461,93 @@ def bench_aux_workloads(on_tpu, iters):
     except Exception as e:
         print(f"# patch-clf bench failed: {type(e).__name__}", flush=True)
 
-    try:
-        with _deadline(600):
-            ae = AE(**FADER_AE_KWARGS,
-                    up_block_kwargs=FADER_UP_BLOCK_KWARGS)
-            size, b = (128, 2) if on_tpu else (64, 1)
-            st = create_train_state(ae, torch_adam(7e-4, weight_decay=1e-4),
-                                    jnp.zeros((1, size, size, size, 1)), key)
-            x = jnp.asarray(rng.normal(size=(b, size, size, size, 1)),
-                            jnp.float32)
+    # bf16 inputs first (mixed precision, the TPU-native mode: 28.4 vs
+    # 27.4 vol/s f32-storage at 128^3 b2 — experiments/aux_bf16_probe.py),
+    # f32 fallback
+    for ae_dt in (jnp.bfloat16, jnp.float32) if on_tpu else (jnp.float32,):
+        try:
+            with _deadline(600):
+                ae = AE(**FADER_AE_KWARGS,
+                        up_block_kwargs=FADER_UP_BLOCK_KWARGS)
+                size, b = (128, 2) if on_tpu else (64, 1)
+                st = create_train_state(ae,
+                                        torch_adam(7e-4, weight_decay=1e-4),
+                                        jnp.zeros((1, size, size, size, 1)),
+                                        key)
+                x = jnp.asarray(rng.normal(size=(b, size, size, size, 1)),
+                                ae_dt)
 
-            def _step(st, a):
-                def loss_fn(p):
-                    o, nv = ae.apply(
-                        {"params": p, "batch_stats": st.batch_stats}, a,
-                        train=True, rngs={"dropout": key, "sample": key},
-                        mutable=["batch_stats"])
-                    return ((o - a) ** 2).mean(), nv.get("batch_stats")
-                (l, bs), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                    st.params)
-                return st.apply_gradients(g, new_batch_stats=bs), l
+                def _step(st, a):
+                    def loss_fn(p):
+                        o, nv = ae.apply(
+                            {"params": p, "batch_stats": st.batch_stats}, a,
+                            train=True, rngs={"dropout": key, "sample": key},
+                            mutable=["batch_stats"])
+                        return ((o - a) ** 2).mean(), nv.get("batch_stats")
+                    (l, bs), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                        st.params)
+                    return st.apply_gradients(g, new_batch_stats=bs), l
 
-            step = jax.jit(_step, donate_argnums=(0,))
+                step = jax.jit(_step, donate_argnums=(0,))
 
-            st, loss = step(st, x)
-            float(loss)
-            t0 = time.perf_counter()
-            for _ in range(iters):
                 st, loss = step(st, x)
-            float(loss)
-            out["ae"] = b * iters / (time.perf_counter() - t0)
-    except Exception as e:
-        print(f"# AE bench failed: {type(e).__name__}", flush=True)
+                float(loss)
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    st, loss = step(st, x)
+                float(loss)
+                out["ae"] = b * iters / (time.perf_counter() - t0)
+            break
+        except Exception as e:
+            print(f"# AE bench ({jnp.dtype(ae_dt).name}) failed: "
+                  f"{type(e).__name__}", flush=True)
 
-    try:
-        if not on_tpu:
-            raise RuntimeError("fader head geometry needs the 192^3 crop")
-        with _deadline(600):
-            head = FADER_HEAD_KWARGS
-            nd = 4
-            enc = make_encoder(FADER_AE_KWARGS)
-            clf = Classificator(n_class=2, **head)
-            disc = Discriminator(n_domains=nd, **head)
-            size, b = 192, 4
-            x0 = jnp.zeros((1, size, size, size, 1))
-            es = create_train_state(enc, torch_adam(7e-4, weight_decay=1e-4),
-                                    x0, key)
-            latent0, _ = enc.apply(es.variables, x0)
-            fstate = FaderState(
-                encoder=es,
-                clf=create_train_state(clf, torch_adam(7e-4), latent0, key),
-                disc=create_train_state(disc, torch_adam(5e-4), latent0, key))
-            x = jnp.asarray(rng.normal(size=(b, size, size, size, 1)),
-                            jnp.float32)
-            y = jnp.asarray(rng.integers(0, 2, b), jnp.int32)
-            d = jnp.asarray(rng.integers(0, nd, b), jnp.int32)
-            lam = jnp.float32(1e-3)
-            fstate, dl, _ = disc_step(fstate, x, d, key, nd)
-            fstate, l, _, _ = enc_clf_step(fstate, x, y, d, lam, key, nd)
-            float(l)
-            t0 = time.perf_counter()
-            for _ in range(iters):
+    # bf16 inputs first (25.4 vs 22.9 vol/s f32-storage at 192^3 b4 —
+    # experiments/aux_bf16_probe.py), f32 fallback
+    for fd_dt in (jnp.bfloat16, jnp.float32):
+        try:
+            if not on_tpu:
+                raise RuntimeError("fader head geometry needs the 192^3 crop")
+            with _deadline(600):
+                head = FADER_HEAD_KWARGS
+                nd = 4
+                enc = make_encoder(FADER_AE_KWARGS)
+                clf = Classificator(n_class=2, **head)
+                disc = Discriminator(n_domains=nd, **head)
+                size, b = 192, 4
+                x0 = jnp.zeros((1, size, size, size, 1))
+                es = create_train_state(enc,
+                                        torch_adam(7e-4, weight_decay=1e-4),
+                                        x0, key)
+                latent0, _ = enc.apply(es.variables, x0)
+                fstate = FaderState(
+                    encoder=es,
+                    clf=create_train_state(clf, torch_adam(7e-4), latent0,
+                                           key),
+                    disc=create_train_state(disc, torch_adam(5e-4), latent0,
+                                            key))
+                x = jnp.asarray(rng.normal(size=(b, size, size, size, 1)),
+                                fd_dt)
+                y = jnp.asarray(rng.integers(0, 2, b), jnp.int32)
+                d = jnp.asarray(rng.integers(0, nd, b), jnp.int32)
+                lam = jnp.float32(1e-3)
                 fstate, dl, _ = disc_step(fstate, x, d, key, nd)
                 fstate, l, _, _ = enc_clf_step(fstate, x, y, d, lam, key, nd)
-            float(l)
-            out["fader"] = b * iters / (time.perf_counter() - t0)
-    except Exception as e:
-        if on_tpu:
-            print(f"# fader bench failed: {type(e).__name__}", flush=True)
+                float(l)
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    fstate, dl, _ = disc_step(fstate, x, d, key, nd)
+                    fstate, l, _, _ = enc_clf_step(fstate, x, y, d, lam,
+                                                   key, nd)
+                float(l)
+                out["fader"] = b * iters / (time.perf_counter() - t0)
+            break
+        except Exception as e:
+            if on_tpu:
+                print(f"# fader bench ({jnp.dtype(fd_dt).name}) failed: "
+                      f"{type(e).__name__}", flush=True)
+            else:
+                break
     return out
 
 

@@ -34,6 +34,10 @@ def main():
     p.add_argument("--img-size", type=int, default=192)
     p.add_argument("--disc-loop", type=int, default=1)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed precision: bf16 activations, f32 master "
+                        "weights — 28.4 vs 27.4 vol/s f32 at 128^3 b2 on "
+                        "TPU (experiments/aux_bf16_probe.py)")
     args = p.parse_args()
 
     if args.synthetic:
@@ -93,6 +97,8 @@ def main():
     for epoch in range(args.epochs):
         for batch in loader:
             x = jnp.asarray(batch[0])
+            if args.bf16:
+                x = x.astype(jnp.bfloat16)
             dom = jnp.asarray(np.asarray(batch[2]), jnp.int32)
             for _ in range(args.disc_loop):
                 key, sub = jax.random.split(key)

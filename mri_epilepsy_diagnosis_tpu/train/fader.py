@@ -148,11 +148,16 @@ def train_fader(fstate: FaderState, train_loader, val_loader, epochs: int,
                 lambda_initial: float, lambda_step: float, max_step: int,
                 n_domains: int, disc_loop: int = 1, class_weight=None,
                 domain_weight=None, experiment=None, verbose: bool = True,
-                rng_seed: int = 0, dashboard=None):
+                rng_seed: int = 0, dashboard=None, input_dtype=None):
     """ENC_CLF epoch driver (train_ENC_CLF.ipynb cell 16 semantics).
 
     Returns (fstate, history dict with per-epoch accuracy / roc_auc /
-    domain accuracy and losses)."""
+    domain accuracy and losses).
+
+    `input_dtype=jnp.bfloat16` trains mixed precision (bf16 activations,
+    f32 master weights/optimizer moments — the seg-loop `input_dtype`
+    contract, train/seg.py:132): on TPU the 192^3 alternation runs 25.4
+    vs 22.9 vol/s f32 (experiments/aux_bf16_probe.py, round 3)."""
     from sklearn.metrics import accuracy_score, roc_auc_score
 
     key = jax.random.key(rng_seed)
@@ -173,6 +178,8 @@ def train_fader(fstate: FaderState, train_loader, val_loader, epochs: int,
 
         for batch in train_loader:
             x = jnp.asarray(batch[0])
+            if input_dtype is not None:
+                x = x.astype(input_dtype)
             y = jnp.asarray(np.asarray(batch[1]), jnp.int32)
             dom = jnp.asarray(np.asarray(batch[2]), jnp.int32)
             for _ in range(n_d):
@@ -212,6 +219,8 @@ def train_fader(fstate: FaderState, train_loader, val_loader, epochs: int,
             pred, gt, pred_d, gt_d = [], [], [], []
             for batch in val_loader:
                 x = jnp.asarray(batch[0])
+                if input_dtype is not None:
+                    x = x.astype(input_dtype)
                 y = np.asarray(batch[1])
                 dom = np.asarray(batch[2])
                 key, sub = jax.random.split(key)

@@ -219,6 +219,18 @@ def test_fader_training_steps():
     assert hist["train_loss_disc"][-1] < hist["train_loss_disc"][0]
     assert len(hist["acc"]) == 2
 
+    # mixed precision (input_dtype=bf16: bf16 activations, f32 master
+    # weights — the TPU perf mode, experiments/aux_bf16_probe.py): the
+    # same loop must run, produce finite losses, and keep f32 params
+    fstate, hist16 = train_fader(fstate, loader, loader, epochs=1,
+                                 lambda_initial=1e-4, lambda_step=3e-4,
+                                 max_step=300, n_domains=n_domains,
+                                 disc_loop=1, verbose=False,
+                                 input_dtype=jnp.bfloat16)
+    assert np.isfinite(hist16["train_loss"]).all()
+    leaves = jax.tree_util.tree_leaves(fstate.encoder.params)
+    assert all(p.dtype == jnp.float32 for p in leaves)
+
 
 def test_packed_seg_training_loop():
     """train_segmentation(packed=True): the packed execution-layout steps
