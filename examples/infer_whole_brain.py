@@ -68,9 +68,11 @@ def main():
             fold_bn_inference)
         variables = fold_bn_inference(variables)
     if args.sliding_window:
+        # batch 64 = the whole 192^3 grid in one model call; 'unrolled'
+        # static aggregation (both defaults) — 14.3 vs 8.4 vol/s for the
+        # b16-chunked scan (experiments/sliding_window_batch_ab.py)
         logits = sliding_window_predict(apply_fn, variables, x,
-                                        patch_size=64, overlap=4,
-                                        batch_size=16)
+                                        patch_size=64, overlap=4)
         pred = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
     elif use_packed:
         # packed-space mask epilogue: skips the fine-logit argmax

@@ -43,6 +43,27 @@ def test_sliding_window_identity_model(mode, rng):
                                np.asarray(vol)[..., 0], atol=1e-6)
 
 
+@pytest.mark.parametrize("mode", ["average", "crop"])
+def test_sliding_window_agg_impl_parity(mode, rng):
+    """All three aggregation implementations — 'unrolled' (static-index
+    in-place adds, the TPU default), 'scatter' (windowed scatter-add) and
+    'scan' (the torchio GridAggregator translation) — must produce the
+    same aggregated logits: same sums, different op order, so ULP
+    tolerance."""
+    vol = jnp.asarray(rng.normal(size=(40, 40, 40, 1)).astype(np.float32))
+
+    def apply_fn(variables, patches):
+        return jnp.concatenate([patches, -patches], axis=-1)
+
+    kw = dict(patch_size=16, overlap=4, batch_size=8, mode=mode,
+              num_classes=2)
+    ref = sliding_window_predict(apply_fn, {}, vol, agg="unrolled", **kw)
+    for agg in ("scatter", "scan"):
+        other = sliding_window_predict(apply_fn, {}, vol, agg=agg, **kw)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(other),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_sliding_window_matches_direct_unet(rng):
     from mri_epilepsy_diagnosis_tpu.models import UNet3D
 

@@ -91,6 +91,35 @@ def test_segment_volumes_mask_fn(rng):
         _F.set_precision_override(None)
 
 
+def test_segment_volumes_data_parallel(rng):
+    """Data-parallel serving over a 4-device mesh: the prefetch thread
+    commits each batch to a data-axis sharding; masks must equal the
+    unsharded stream's (same compiled semantics, GSPMD-partitioned)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mri_epilepsy_diagnosis_tpu.core.mesh import create_mesh
+
+    _F.set_precision_override("fast")
+    try:
+        model = UNet3D(out_channels_first_layer=4, num_encoding_blocks=2)
+        v = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)))
+        mesh = create_mesh(("data",), (4,), devices=jax.devices()[:4])
+        shard = NamedSharding(mesh, P("data"))
+        # 6 volumes at batch 4 -> one full + one padded ragged batch (the
+        # pad keeps the batch divisible by the data axis)
+        vols = [rng.normal(size=(16, 16, 16)).astype(np.float32)
+                for _ in range(6)]
+        sharded = list(segment_volumes(model.apply, v, vols, batch_size=4,
+                                       dtype=jnp.float32, sharding=shard))
+        plain = list(segment_volumes(model.apply, v, vols, batch_size=4,
+                                     dtype=jnp.float32))
+        assert len(sharded) == 6
+        for a, b in zip(sharded, plain):
+            np.testing.assert_array_equal(a["mask"], b["mask"])
+    finally:
+        _F.set_precision_override(None)
+
+
 def test_segment_volumes_device_preprocess(rng):
     """Raw int16 volumes transfer and normalize on-device; masks must match
     the host-preprocess float path."""
