@@ -166,6 +166,41 @@ def bench_ensemble(size, batch, iters, probe_only=False):
     return batch * iters / (time.perf_counter() - t0)
 
 
+def bench_sliding_window(size, iters):
+    """Patch-based whole-volume inference (the reference's GridSampler/
+    GridAggregator path, pretraining_3d_unet.ipynb cells 26/35): 64^3
+    patches, overlap 4, ONE batch-64 packed model call per volume and
+    static-grid 'unrolled' aggregation (experiments/
+    sliding_window_batch_ab.py: 14.3 vs 10.5 scatter/scan vol/s)."""
+    from mri_epilepsy_diagnosis_tpu.infer.sliding_window import (
+        sliding_window_predict)
+    from mri_epilepsy_diagnosis_tpu.models import UNet3D
+    from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
+        fold_bn_inference, packed_unet_apply_v2)
+
+    model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
+                   out_channels_first_layer=8)
+    variables = fold_bn_inference(
+        model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1))))
+    vol = jnp.asarray(np.random.default_rng(0)
+                      .normal(size=(size, size, size, 1)), jnp.bfloat16)
+
+    def packed_apply(v, patches):
+        return packed_unet_apply_v2(v, patches)
+
+    def run():
+        return sliding_window_predict(packed_apply, variables, vol,
+                                      patch_size=64, overlap=4,
+                                      batch_size=64, num_classes=2)
+
+    float(run().sum())  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    float(out.sum())
+    return iters / (time.perf_counter() - t0)
+
+
 def bench_train(state, size, iters, batch=1, packed=False,
                 dtype=jnp.float32, dec_up="explicit"):
     """Dice train-step rate.  `packed=True` uses the packed-layout step
@@ -627,6 +662,16 @@ def main():
                     print(f"# ensemble b8 bench failed: {type(e).__name__}",
                           flush=True)
 
+    # patch-based whole-volume inference (GridSampler/Aggregator parity)
+    sliding_rate = float("nan")
+    if size == 192:
+        try:
+            with _deadline(600):
+                sliding_rate = bench_sliding_window(size, iters)
+        except Exception as e:
+            print(f"# sliding-window bench failed: {type(e).__name__}",
+                  flush=True)
+
     F.set_precision_override("fast")
     train_rate, train_size, train_dtype = float("nan"), None, None
     # 192^3 whole-volume training runs in the packed layout (the fine graph
@@ -708,6 +753,8 @@ def main():
         # north star: >=50 vol/s seg+clf on v5e-8 => 6.25 vol/s per chip
         "ensemble_vol_per_s": _num(ensemble_rate),
         "ensemble_vs_target_per_chip": _num(ensemble_rate / 6.25, 2),
+        # reference GridSampler/GridAggregator path (64^3 patches, overlap 4)
+        "sliding_window_vol_per_s": _num(sliding_rate),
         # BASELINE configs 1-3 (no reference per-step numbers recorded)
         "detection_patch_train_per_s": _num(aux["patch_clf"], 0),
         # reference: DilatedCNN ~5.2 vol/s train on P100 (BASELINE.md)
