@@ -189,15 +189,19 @@ def bench_sliding_window(size, iters):
         return packed_unet_apply_v2(v, patches)
 
     def run():
+        # Reduce to a scalar per iteration so the timed loop never pays an
+        # un-warmed reduction or a full-volume device->host readback
+        # (ADVICE r3): .sum() is dispatched (and therefore warmed) on the
+        # compile+sync call below, matching bench_infer/bench_ensemble.
         return sliding_window_predict(packed_apply, variables, vol,
                                       patch_size=64, overlap=4,
-                                      batch_size=64, num_classes=2)
+                                      batch_size=64, num_classes=2).sum()
 
-    float(run().sum())  # compile + sync
+    float(run())  # compile + sync
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run()
-    float(out.sum())
+    float(out)
     return iters / (time.perf_counter() - t0)
 
 
@@ -666,7 +670,10 @@ def main():
     sliding_rate = float("nan")
     if size == 192:
         try:
-            with _deadline(600):
+            # 900 s like the other relay-compiled sections (ADVICE r3):
+            # cold compiles are relay-health-dependent (136-263 s observed,
+            # minutes when unhealthy), and 600 s could NaN a working path.
+            with _deadline(900):
                 sliding_rate = bench_sliding_window(size, iters)
         except Exception as e:
             print(f"# sliding-window bench failed: {type(e).__name__}",
