@@ -7,8 +7,9 @@ overlap 4, batch 16, argmax -> aggregate) with a jit-compiled pipeline:
 - `grid_locations` computes the static patch grid (stride = patch - overlap,
   final patch clamped to the far edge — torchio semantics);
 - patch extraction is a `lax.scan` of dynamic slices, model application is
-  one batched call, aggregation is a scan of scatter-adds with overlap
-  averaging ('average') or boundary-aware center-cropping ('crop').
+  one batched call, aggregation averages overlaps ('average') or performs
+  torchio's exact center-crop paste ('crop': crop overlap//2 per non-border
+  face, overwrite in grid order — static-unrolled writes).
 
 Everything is static-shaped, so the whole volume->labelmap path compiles to
 a single XLA program and batches across volumes/devices (the continuous
@@ -80,29 +81,34 @@ def make_sharded_apply(apply_fn: Callable, mesh) -> Callable:
     return wrapped
 
 
-def _patch_weight(patch, overlap, mode) -> np.ndarray:
-    """Per-patch aggregation weight (pd, ph, pw, 1), numpy.
-
-    'average': uniform 1.  'crop': interior voxels (>= overlap//2 from each
-    patch face) get an overwhelming weight, borders weight 1, then weighted
-    average — interiors dominate wherever they tile (torchio crop semantics)
-    while borders still cover the margins interiors miss."""
-    wt = np.ones(patch, np.float32)
-    if mode == "crop":
-        margin = np.broadcast_to(np.asarray(overlap), (3,)) // 2
-        core = tuple(slice(int(m), int(p - m) if m else None)
-                     for m, p in zip(margin, patch))
-        wt[core] = 1e6
-    return wt[..., None]
-
-
-def _coverage(spatial, locations, patch, wt) -> np.ndarray:
-    """Total aggregation weight per voxel — a trace-time CONSTANT (the
-    patch grid is static), so the normalization never costs device work."""
+def _coverage(spatial, locations, patch) -> np.ndarray:
+    """Patches covering each voxel — a trace-time CONSTANT (the patch grid
+    is static), so the 'average' normalization never costs device work."""
     cnt = np.zeros(tuple(spatial) + (1,), np.float32)
     for l0, l1, l2 in np.asarray(locations):
-        cnt[l0:l0 + patch[0], l1:l1 + patch[1], l2:l2 + patch[2]] += wt
+        cnt[l0:l0 + patch[0], l1:l1 + patch[1], l2:l2 + patch[2]] += 1.0
     return np.maximum(cnt, 1.0)
+
+
+def _crop_boxes(spatial, locations, patch, overlap):
+    """Static per-patch center-crop boxes, torchio GridAggregator
+    `overlap_mode='crop'` semantics (`pretraining_3d_unet.ipynb` cells
+    26/35 run this mode by default): every patch is cropped by
+    ``overlap // 2`` on each face EXCEPT faces touching the volume border,
+    which keep their margin; the cropped patch is pasted (overwritten, not
+    averaged) in grid order.  Returns [(lead, stop, dst_lo, dst_hi)] per
+    patch, all python ints — the paste unrolls to static-index writes."""
+    half = np.broadcast_to(np.asarray(overlap), (3,)) // 2
+    boxes = []
+    for loc in np.asarray(locations):
+        lead = [int(h) if int(l) > 0 else 0 for h, l in zip(half, loc)]
+        trail = [int(h) if int(l) + int(p) < int(s) else 0
+                 for h, l, p, s in zip(half, loc, patch, spatial)]
+        stop = [int(p) - t for p, t in zip(patch, trail)]
+        dst_lo = [int(l) + ld for l, ld in zip(loc, lead)]
+        dst_hi = [int(l) + st for l, st in zip(loc, stop)]
+        boxes.append((lead, stop, dst_lo, dst_hi))
+    return boxes
 
 
 @functools.partial(jax.jit,
@@ -161,34 +167,40 @@ def sliding_window_predict(apply_fn: Callable, variables, vol,
     if agg not in ("scatter", "scan", "unrolled"):
         raise ValueError(f"unknown aggregation impl {agg}")
 
-    wt_np = _patch_weight(patch, overlap, mode)
-    norm = jnp.asarray(_coverage(spatial, locations, patch, wt_np),
-                       logits.dtype)
-    wt = jnp.asarray(wt_np, logits.dtype)
     out = jnp.zeros(spatial + (num_classes,), logits.dtype)
 
+    if mode == "crop":
+        # Exact torchio center-crop paste (see _crop_boxes).  Crop shapes
+        # differ between border and interior patches, so this is inherently
+        # the static-unrolled form — 'scatter'/'scan' can't express
+        # ordered overwrites of varying windows and delegate here.
+        for i, (lead, stop, lo, hi) in enumerate(
+                _crop_boxes(spatial, locations, patch, overlap)):
+            upd = logits[i][lead[0]:stop[0], lead[1]:stop[1],
+                            lead[2]:stop[2]]
+            out = out.at[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]].set(upd)
+        return out[:orig_spatial[0], :orig_spatial[1], :orig_spatial[2]]
+
+    norm = jnp.asarray(_coverage(spatial, locations, patch), logits.dtype)
     if agg == "scatter":
         dn = jax.lax.ScatterDimensionNumbers(
             update_window_dims=(1, 2, 3, 4), inserted_window_dims=(),
             scatter_dims_to_operand_dims=(0, 1, 2))
-        updates = logits if mode == "average" else logits * wt
-        out = jax.lax.scatter_add(out, jnp.asarray(locations), updates, dn,
+        out = jax.lax.scatter_add(out, jnp.asarray(locations), logits, dn,
                                   indices_are_sorted=False,
                                   unique_indices=False)
     elif agg == "unrolled":
         # the patch grid is STATIC: unroll to static-index in-place adds
         # (XLA fuses them without the gather/scatter machinery)
         for i, (l0, l1, l2) in enumerate(np.asarray(locations)):
-            upd = logits[i] if mode == "average" else logits[i] * wt
             out = out.at[l0:l0 + patch[0], l1:l1 + patch[1],
-                         l2:l2 + patch[2]].add(upd)
+                         l2:l2 + patch[2]].add(logits[i])
     else:
         def body(out, xs):
             loc, lg = xs
             idx = (loc[0], loc[1], loc[2], 0)
-            upd = lg if mode == "average" else lg * wt
             return jax.lax.dynamic_update_slice(
-                out, jax.lax.dynamic_slice(out, idx, lg.shape) + upd, idx), None
+                out, jax.lax.dynamic_slice(out, idx, lg.shape) + lg, idx), None
 
         out, _ = jax.lax.scan(body, out, (jnp.asarray(locations), logits))
 
@@ -215,17 +227,36 @@ class GridSampler:
 
 class GridAggregator:
     """torchio-compatible aggregator: add_batch(labels, locations) then
-    get_output_tensor().  Host-side numpy, average overlap."""
+    get_output_tensor().  Host-side numpy.  `overlap_mode='average'`
+    (default) averages overlapping contributions; `'crop'` reproduces
+    torchio's center-crop paste exactly (crop ``patch_overlap // 2`` per
+    non-border face, overwrite in batch order — see `_crop_boxes`)."""
 
-    def __init__(self, spatial_shape, num_classes: int = 1):
-        self.acc = np.zeros(tuple(spatial_shape) + (num_classes,), np.float64)
-        self.cnt = np.zeros(tuple(spatial_shape) + (1,), np.float64)
+    def __init__(self, spatial_shape, num_classes: int = 1,
+                 overlap_mode: str = "average", patch_overlap=0):
+        if overlap_mode not in ("average", "crop"):
+            raise ValueError(f"unknown overlap_mode {overlap_mode}")
+        self.spatial = tuple(spatial_shape)
+        self.overlap_mode = overlap_mode
+        self.patch_overlap = patch_overlap
+        self.acc = np.zeros(self.spatial + (num_classes,), np.float64)
+        self.cnt = np.zeros(self.spatial + (1,), np.float64)
 
     def add_batch(self, values, locations):
         values = np.asarray(values)
         if values.ndim == 4:  # (B, pd, ph, pw) labels
             values = values[..., None]
-        for v, loc in zip(values, np.asarray(locations)):
+        locations = np.asarray(locations)
+        if self.overlap_mode == "crop":
+            boxes = _crop_boxes(self.spatial, locations, values.shape[1:4],
+                                self.patch_overlap)
+            for v, (lead, stop, lo, hi) in zip(values, boxes):
+                dst = tuple(slice(a, b) for a, b in zip(lo, hi))
+                self.acc[dst] = v[lead[0]:stop[0], lead[1]:stop[1],
+                                  lead[2]:stop[2]]
+                self.cnt[dst] = 1
+            return
+        for v, loc in zip(values, locations):
             sl = tuple(slice(l, l + s) for l, s in zip(loc, v.shape[:3]))
             self.acc[sl] += v
             self.cnt[sl] += 1

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from mri_epilepsy_diagnosis_tpu.infer import (FCDMaskGenerator, GridAggregator,
                                               grid_locations,
                                               sliding_window_predict)
+from mri_epilepsy_diagnosis_tpu.infer.sliding_window import extract_patches
 from mri_epilepsy_diagnosis_tpu.data import patches as P
 from mri_epilepsy_diagnosis_tpu.ops import functional as _F
 
@@ -43,13 +44,65 @@ def test_sliding_window_identity_model(mode, rng):
                                np.asarray(vol)[..., 0], atol=1e-6)
 
 
+def _torchio_crop_oracle(vol_shape, logits, locations, patch, overlap):
+    """Independent numpy statement of torchio GridAggregator
+    `overlap_mode='crop'` (the reference's default aggregation,
+    `pretraining_3d_unet.ipynb` cells 26/35): crop ``overlap // 2`` from
+    every patch face not touching the volume border, then paste the crop
+    by ASSIGNMENT in batch order (later patches overwrite earlier ones
+    where crops still overlap, e.g. around the clamped final patch)."""
+    half = np.broadcast_to(np.asarray(overlap), (3,)) // 2
+    out = np.zeros(tuple(vol_shape) + (logits.shape[-1],), logits.dtype)
+    for lg, loc in zip(np.asarray(logits), np.asarray(locations)):
+        ini = [int(h) if l > 0 else 0 for h, l in zip(half, loc)]
+        fin = [int(h) if l + p < s else 0
+               for h, l, p, s in zip(half, loc, patch, vol_shape)]
+        crop = lg[ini[0]:patch[0] - fin[0], ini[1]:patch[1] - fin[1],
+                  ini[2]:patch[2] - fin[2]]
+        dst = tuple(slice(l + i, l + p - f)
+                    for l, i, p, f in zip(loc, ini, patch, fin))
+        out[dst] = crop
+    return out
+
+
+def test_sliding_window_crop_matches_torchio_oracle(rng):
+    """The jit 'crop' path must reproduce torchio's GridAggregator crop
+    semantics exactly, including overwrite ORDER where cropped regions
+    overlap (the clamped final patch).  The apply_fn adds a distinct
+    per-patch offset (batch index == grid order with one full-grid call)
+    so any ordering or boundary-margin mistake changes voxel values."""
+    vol = jnp.asarray(rng.normal(size=(42, 42, 42, 1)).astype(np.float32))
+    patch, overlap = (16, 16, 16), 4
+    locs = grid_locations(vol.shape[:3], 16, overlap)
+    assert sorted(set(l[0] for l in locs)) == [0, 12, 24, 26]  # clamped
+
+    def apply_fn(variables, patches):
+        off = jnp.arange(patches.shape[0], dtype=patches.dtype)
+        shifted = patches + off[:, None, None, None, None]
+        return jnp.concatenate([shifted, -shifted], axis=-1)
+
+    out = sliding_window_predict(apply_fn, {}, vol, patch_size=16,
+                                 overlap=overlap, batch_size=len(locs),
+                                 mode="crop", num_classes=2)
+    patches = np.asarray(extract_patches(vol, locs, patch))
+    offs = np.arange(len(locs), dtype=np.float32)[:, None, None, None, None]
+    logits = np.concatenate([patches + offs, -(patches + offs)], axis=-1)
+    oracle = _torchio_crop_oracle(vol.shape[:3], logits, locs, patch, overlap)
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-6)
+    # host-side facade: same oracle
+    agg = GridAggregator(vol.shape[:3], num_classes=2, overlap_mode="crop",
+                         patch_overlap=overlap)
+    agg.add_batch(logits, locs)
+    np.testing.assert_allclose(agg.get_output_tensor(), oracle, atol=1e-6)
+
+
 @pytest.mark.parametrize("mode", ["average", "crop"])
 def test_sliding_window_agg_impl_parity(mode, rng):
-    """All three aggregation implementations — 'unrolled' (static-index
-    in-place adds, the TPU default), 'scatter' (windowed scatter-add) and
-    'scan' (the torchio GridAggregator translation) — must produce the
-    same aggregated logits: same sums, different op order, so ULP
-    tolerance."""
+    """'unrolled' (static-index in-place adds, the TPU default), 'scatter'
+    (windowed scatter-add) and 'scan' (the torchio GridAggregator
+    translation) must produce the same aggregated logits ('crop' always
+    routes through the static-unrolled paste — varying crop windows with
+    ordered overwrites aren't expressible as scatter/scan)."""
     vol = jnp.asarray(rng.normal(size=(40, 40, 40, 1)).astype(np.float32))
 
     def apply_fn(variables, patches):
