@@ -6,11 +6,20 @@ registration to the MNI152 template, with `.mat` reuse to transform lesion
 masks) and `FAST` (`output_biascorrected`) —
 `detection/preprocessing_utils.py:11-73`.  Here:
 
-- `register_affine`: multi-resolution gradient-descent optimization of a
-  9/12-parameter affine on normalized cross-correlation, entirely on device
-  (each level is one jit'd `lax.fori_loop`).  Returns the voxel->voxel matrix
-  so the same transform can be re-applied to masks (`apply_transform`),
-  mirroring FLIRT's `-applyxfm` workflow.
+- `register_affine`: coarse global search (FLIRT's strategy: center-of-mass
+  translation init + a full-circle rotation grid scored by NCC at the
+  coarsest pyramid level, then full pyramid descent from the top
+  candidates AND identity, best final NCC wins; `search=True` by default)
+  wrapping multi-resolution gradient-descent optimization of a
+  9/12-parameter affine on normalized cross-correlation, entirely on
+  device (each level is one jit'd `lax.fori_loop`).  Returns the
+  voxel->voxel matrix so the same transform can be re-applied to masks
+  (`apply_transform`), mirroring FLIRT's `-applyxfm` workflow.  Capture
+  range (measured on the MNI152 gray template,
+  experiments/registration_capture.py): descent-only converges on
+  compound tilts up to ~60 deg but silently lands in bad optima on
+  quarter/half axis turns (rot90x NCC 0.36, rot120z 0.49, rot180z 0.48);
+  the search stage registers all of those to NCC > 0.95.
 - `bias_field_correction`: FAST-equivalent multiplicative bias removal — a
   smooth polynomial fit to log-intensities over the foreground (N4-lite),
   solved with a single least-squares on device.
@@ -80,19 +89,123 @@ def _register_level(moving, fixed, params0, dof_mask, iters: int, lr: float):
     return p, loss_fn(p)
 
 
+def _center_of_mass(v):
+    """Intensity center of mass over the soft foreground, voxel units."""
+    v = jnp.maximum(v - jnp.mean(v), 0.0)
+    total = jnp.sum(v) + 1e-8
+    coms = []
+    for ax in range(3):
+        idx = jnp.arange(v.shape[ax], dtype=jnp.float32)
+        marg = jnp.sum(v, axis=tuple(a for a in range(3) if a != ax))
+        coms.append(jnp.sum(marg * idx) / total)
+    return jnp.stack(coms)
+
+
+def _candidate_params(ang, com_mv, com_fx, center):
+    """Rigid params for one rotation candidate with its COM-consistent
+    translation.  A single COM-difference translation is only right for
+    the identity rotation: under `params_to_affine`, mass at moving-voxel
+    y lands at R(ang)(y - c) + c + t, so aligning centers of mass GIVEN
+    the candidate rotation needs t = com_fx - c - R(ang)(com_mv - c)
+    (measured: with a shared COM shift, the true 120-deg-undo candidate
+    scored NCC 0.39 / rank 1002 of 1728 — the grid was useless)."""
+    t = com_fx - center - _rotation_matrix(ang) @ (com_mv - center)
+    return jnp.zeros((12,), jnp.float32).at[0:3].set(t).at[3:6].set(ang)
+
+
+@jax.jit
+def _search_scores(moving, fixed, com_mv, com_fx, angles):
+    """NCC of each candidate rigid init at one pyramid level.  `lax.map`
+    keeps the scan body compiled once regardless of grid size."""
+    center = (jnp.asarray(moving.shape, jnp.float32) - 1) / 2
+
+    def score(ang):
+        p = _candidate_params(ang, com_mv, com_fx, center)
+        aff = params_to_affine(p, moving.shape)
+        warped = affine_resample(moving, aff, out_shape=fixed.shape)
+        return _ncc(warped, fixed)
+
+    return jax.lax.map(score, angles)
+
+
+def coarse_search(moving, fixed, level: int = 4,
+                  search_range_deg: float = 180.0,
+                  search_step_deg: float = 30.0,
+                  top_k: int = 3):
+    """FLIRT-style global initialization: center-of-mass translation plus
+    an exhaustive rotation grid (+-range, step, per axis) scored by NCC at
+    a downsampled level.  Returns the `top_k` best 12-param vectors
+    (full-resolution voxel units) for `register_affine` to refine — this
+    is what gives the method a global capture range instead of the local
+    basin of descent-from-identity (FLIRT performs the same two-stage
+    search, `detection/preprocessing_utils.py:22-30` shells out to it).
+
+    Two-stage like FLIRT: the raw grid NCC ranking is not faithful enough
+    to pick ONE winner (measured: the correct 120 deg candidate ranks
+    below several 30-deg-off ones at level 4), so the best `preselect`
+    grid points each get a short vmapped rigid refinement AT the coarse
+    level, and the `top_k` best refined scores go to the caller for full
+    pyramid descents."""
+    import itertools
+
+    mv = _downsample(jnp.asarray(moving, jnp.float32), level)
+    fx = _downsample(jnp.asarray(fixed, jnp.float32), level)
+    com_mv, com_fx = _center_of_mass(mv), _center_of_mass(fx)
+    center = (jnp.asarray(mv.shape, jnp.float32) - 1) / 2
+    grid_deg = np.arange(-search_range_deg, search_range_deg + 1e-6,
+                         search_step_deg, dtype=np.float32)
+    if search_range_deg >= 180:  # -180 == +180: count the flip once
+        grid_deg = grid_deg[grid_deg > -180 + 1e-6]
+    grid = np.deg2rad(grid_deg)
+    angles = np.asarray(list(itertools.product(grid, grid, grid)), np.float32)
+    scores = np.asarray(_search_scores(mv, fx, com_mv, com_fx,
+                                       jnp.asarray(angles)))
+
+    preselect = 16
+    order = np.argsort(-scores)[:preselect]
+    cands = jnp.stack([_candidate_params(jnp.asarray(angles[i]),
+                                         com_mv, com_fx, center)
+                       for i in order])
+    rigid = jnp.asarray([1.0] * 6 + [0.0] * 6, jnp.float32)
+    refined, losses = jax.vmap(
+        lambda p: _register_level(mv, fx, p, rigid, 60, 0.03))(cands)
+    keep = np.argsort(np.asarray(losses))[:top_k]
+    scale = jnp.asarray([float(level)] * 3 + [1.0] * 9, jnp.float32)
+    return [refined[int(i)] * rigid * scale for i in keep]
+
+
 def register_affine(moving, fixed,
                     levels: Sequence[int] = (4, 2, 1),
                     iters: Sequence[int] = (200, 100, 50),
                     lr: float = 0.03,
-                    dof: int = 12) -> Tuple[np.ndarray, jnp.ndarray]:
+                    dof: int = 12,
+                    search: bool = True,
+                    search_range_deg: float = 180.0,
+                    search_step_deg: float = 30.0,
+                    search_starts: int = 3
+                    ) -> Tuple[np.ndarray, jnp.ndarray]:
     """Affine-register `moving` (D,H,W) onto `fixed`'s grid.
 
     Returns (affine_voxel [4x4 fixed-voxel -> moving-voxel], warped volume).
     dof: 6 (rigid), 9 (+scales), 12 (+shears) — FLIRT's -dof options.
+
+    `search` runs the coarse global stage first and descends the full
+    pyramid from the `search_starts` best grid candidates PLUS the
+    identity start, keeping the best final full-resolution NCC (FLIRT's
+    multi-start strategy).  Disable only for known-near-identity inputs.
+    A candidate reaching NCC >= `early_accept_ncc` is accepted without
+    descending the remaining starts (typical well-posed cases cost one
+    descent).
     """
+    early_accept_ncc = 0.95
     moving = jnp.asarray(moving, jnp.float32)
     fixed = jnp.asarray(fixed, jnp.float32)
-    params = jnp.zeros((12,), jnp.float32)
+    starts = [jnp.zeros((12,), jnp.float32)]
+    if search:
+        starts = coarse_search(moving, fixed, level=int(levels[0]),
+                               search_range_deg=search_range_deg,
+                               search_step_deg=search_step_deg,
+                               top_k=search_starts) + starts
     mask = np.zeros(12, np.float32)
     mask[:3] = mask[3:6] = 1
     if dof >= 9:
@@ -101,19 +214,29 @@ def register_affine(moving, fixed,
         mask[9:12] = 1
     mask = jnp.asarray(mask)
 
-    for level, it in zip(levels, iters):
-        mv = _downsample(moving, level)
-        fx = _downsample(fixed, level)
-        # translation parameters live in voxel units: rescale across levels
-        scale_t = jnp.asarray([1 / level] * 3 + [1] * 9, jnp.float32)
-        p_level = params * scale_t
-        p_level, _ = _register_level(mv, fx, p_level, mask, int(it), lr)
-        p_level = p_level * mask
-        params = p_level / scale_t
+    def descend(params):
+        for level, it in zip(levels, iters):
+            mv = _downsample(moving, level)
+            fx = _downsample(fixed, level)
+            # translation params live in voxel units: rescale across levels
+            scale_t = jnp.asarray([1 / level] * 3 + [1] * 9, jnp.float32)
+            p_level = params * scale_t
+            p_level, _ = _register_level(mv, fx, p_level, mask, int(it), lr)
+            p_level = p_level * mask
+            params = p_level / scale_t
+        return params
 
-    affine = params_to_affine(params, moving.shape)
-    warped = affine_resample(moving, affine, out_shape=fixed.shape)
-    return np.asarray(affine), warped
+    best = (None, None, -np.inf)
+    for p0 in starts:
+        params = descend(p0)
+        affine = params_to_affine(params, moving.shape)
+        warped = affine_resample(moving, affine, out_shape=fixed.shape)
+        score = float(_ncc(warped, fixed))
+        if score > best[2]:
+            best = (affine, warped, score)
+        if score >= early_accept_ncc:
+            break
+    return np.asarray(best[0]), best[1]
 
 
 def apply_transform(vol, affine, out_shape, fill_value: float = 0.0):
