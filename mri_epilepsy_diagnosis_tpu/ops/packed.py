@@ -229,6 +229,7 @@ def _conv3_packed_bwd(res, g):
         preferred_element_type=F._preferred_for(g, jnp.float32),
         precision=F._precision_for(g.dtype),
     ).astype(xs.dtype)
+    dx = _pin_layout(dx)
     dwp = _dw_packed_qgroup(xs, g).astype(wp.dtype)
     return dx, dwp
 
@@ -239,6 +240,28 @@ _conv3_packed_core.defvjp(_conv3_packed_fwd, _conv3_packed_bwd)
 # A/B toggle (experiments/train192_vjp_probe.py): the custom conv VJPs are
 # the production path; MRI_TPU_PACKED_VJP=0 restores XLA's gradient rules.
 _USE_CUSTOM_VJP = os.environ.get("MRI_TPU_PACKED_VJP", "1") != "0"
+
+# Optional layout pinning (experiments/layout_pin_ab.py, VERDICT r3 ask #4):
+# the bf16 192^3 train step spends ~21% of its time (78.6 of 375 ms b2, 32
+# GB/step) in XLA layout-conversion copies around the shifted-conv jvp
+# chains.  MRI_TPU_PIN_LAYOUT constrains every packed conv output (and the
+# custom-VJP dx) to ONE layout so fwd producers and bwd consumers agree:
+#   "rowmajor" — the default {4,3,2,1,0} minor-to-major;
+#   "convfav"  — {4,1,3,2,0}, the layout XLA's conv lowering prefers here
+#                (the relayout target observed in the copy hunt).
+_PIN_LAYOUT = os.environ.get("MRI_TPU_PIN_LAYOUT", "")
+
+
+def _pin_layout(x):
+    if not _PIN_LAYOUT or x.ndim != 5:
+        return x
+    m2m = {"rowmajor": (0, 1, 2, 3, 4),
+           "convfav": (0, 2, 3, 1, 4)}.get(_PIN_LAYOUT)
+    if m2m is None:
+        return x
+    from jax.experimental import layout as jl
+
+    return jl.with_layout_constraint(x, jl.Layout(m2m))
 
 
 def conv3_packed(xp_shifted, wp, bias=None):
@@ -251,6 +274,7 @@ def conv3_packed(xp_shifted, wp, bias=None):
     """
     y = (_conv3_packed_core(xp_shifted, wp) if _USE_CUSTOM_VJP
          else _conv3_packed_raw(xp_shifted, wp))
+    y = _pin_layout(y)
     if bias is not None:
         y = y + jnp.tile(bias, 8).astype(y.dtype)
     return y
@@ -435,6 +459,7 @@ def _conv3_packed_as_bwd(res, g):
         preferred_element_type=F._preferred_for(g, jnp.float32),
         precision=F._precision_for(g.dtype),
     ).astype(xp.dtype)
+    dx = _pin_layout(dx)
     xpad = jnp.pad(xp, ((0, 0),) + ((1, 1),) * 3 + ((0, 0),))
     dwp = _dw_packed_qgroup(xpad, g).astype(wp.dtype)
     return dx, dwp
@@ -453,6 +478,7 @@ def conv3_packed_as(xp_aligned, wp, bias=None):
     """
     y = (_conv3_packed_as_core(xp_aligned, wp) if _USE_CUSTOM_VJP
          else _conv3_packed_as_raw(xp_aligned, wp))
+    y = _pin_layout(y)
     if bias is not None:
         y = y + jnp.tile(bias, 8).astype(y.dtype)
     return y
