@@ -205,6 +205,91 @@ def bench_sliding_window(size, iters):
     return iters / (time.perf_counter() - t0)
 
 
+def _serving_znorm(batch):
+    """Device-side preprocess for the e2e serving bench (module-level so the
+    serving step cache key is stable): raw int16 -> znormalized float."""
+    from mri_epilepsy_diagnosis_tpu.transforms import znormalization
+
+    return jax.vmap(lambda vol: znormalization(
+        vol[..., 0].astype(jnp.float32))[..., None])(batch)
+
+
+def bench_serving_e2e(size, n_vols=32, batch=8):
+    """END-TO-END streaming serving (VERDICT r3 ask #6): host-resident raw
+    int16 volumes -> prefetch-thread transfers -> on-device znorm + the
+    BN-folded packed mask -> uint8 masks back on host.  This is the
+    BASELINE.json north-star *pipeline* measured as a wall-clock number
+    instead of the device-resident rate the headline reports; on this
+    tunneled image the host<->device relay runs ~20-70 MB/s, so the
+    result is transfer-bound by construction.
+
+    Returns (e2e_vol_per_s, overlap_fraction) where overlap_fraction
+    measures how much of min(transfer, compute) the pipeline hides:
+    (T_transfer + T_compute - T_e2e) / min(T_transfer, T_compute),
+    1.0 = perfectly overlapped, <=0 = fully serialized.
+    """
+    from mri_epilepsy_diagnosis_tpu.infer.serving import segment_volumes
+    from mri_epilepsy_diagnosis_tpu.models import UNet3D
+    from mri_epilepsy_diagnosis_tpu.models.unet_packed import (
+        fold_bn_inference, packed_unet_mask_v2)
+
+    model = UNet3D(in_channels=1, out_classes=2, num_encoding_blocks=3,
+                   out_channels_first_layer=8)
+    variables = fold_bn_inference(
+        model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1))))
+    rng = np.random.default_rng(0)
+    vols = [(rng.normal(size=(size, size, size)) * 200 + 600)
+            .astype(np.int16) for _ in range(n_vols)]
+
+    def run_pipeline():
+        t0 = time.perf_counter()
+        outs = list(segment_volumes(
+            model.apply, variables, vols, batch_size=batch,
+            dtype=jnp.bfloat16, transfer_dtype=np.int16,
+            device_preprocess=_serving_znorm, mask_fn=packed_unet_mask_v2))
+        assert len(outs) == n_vols and outs[0]["mask"].shape == (size,) * 3
+        return time.perf_counter() - t0
+
+    run_pipeline()                     # compile + warm the transfer path
+    t_e2e = run_pipeline()
+
+    # pure-transfer pass: the same bytes up (int16 batches) and down
+    # (uint8 masks), no compute
+    xb = np.stack(vols[:batch])[..., None]
+    up = jax.device_put(xb)
+    mask_dev = jnp.zeros((batch,) + (size,) * 3, jnp.uint8)
+    np.asarray(mask_dev)               # materialize before timing
+    n_batches = (n_vols + batch - 1) // batch
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        up = jax.device_put(xb)
+        up.block_until_ready()
+        np.asarray(mask_dev)           # result readback
+    t_transfer = time.perf_counter() - t0
+
+    # device-resident compute pass (same device work as the serving step:
+    # znorm + mask) on the already-transferred batch
+    @jax.jit
+    def compute(v, x_raw):
+        x = _serving_znorm(x_raw)
+        return packed_unet_mask_v2(v, x.astype(jnp.bfloat16)).sum()
+
+    int(compute(variables, up))
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        out = compute(variables, up)
+    int(out)
+    t_compute = time.perf_counter() - t0
+
+    denom = min(t_transfer, t_compute)
+    overlap = ((t_transfer + t_compute - t_e2e) / denom
+               if denom > 0.05 else float("nan"))
+    print(f"# serving e2e: {n_vols} vols in {t_e2e:.1f}s "
+          f"(transfer-only {t_transfer:.1f}s, compute-only {t_compute:.1f}s,"
+          f" overlap {overlap:.2f})", flush=True)
+    return n_vols / t_e2e, overlap
+
+
 def bench_train(state, size, iters, batch=1, packed=False,
                 dtype=jnp.float32, dec_up="explicit"):
     """Dice train-step rate.  `packed=True` uses the packed-layout step
@@ -679,6 +764,18 @@ def main():
             print(f"# sliding-window bench failed: {type(e).__name__}",
                   flush=True)
 
+    # END-TO-END streaming serving: host int16 volumes through the prefetch
+    # pipeline (transfer-bound on this image's ~20-70 MB/s relay — the
+    # number makes the deployment claim measurable, VERDICT r3 ask #6)
+    serving_rate, serving_overlap = float("nan"), float("nan")
+    if size == 192:
+        try:
+            with _deadline(900):
+                serving_rate, serving_overlap = bench_serving_e2e(size)
+        except Exception as e:
+            print(f"# serving e2e bench failed: {type(e).__name__}",
+                  flush=True)
+
     F.set_precision_override("fast")
     train_rate, train_size, train_dtype = float("nan"), None, None
     # 192^3 whole-volume training runs in the packed layout (the fine graph
@@ -762,6 +859,8 @@ def main():
         "ensemble_vs_target_per_chip": _num(ensemble_rate / 6.25, 2),
         # reference GridSampler/GridAggregator path (64^3 patches, overlap 4)
         "sliding_window_vol_per_s": _num(sliding_rate),
+        "serving_e2e_vol_per_s": _num(serving_rate, 2),
+        "serving_overlap_fraction": _num(serving_overlap, 2),
         # BASELINE configs 1-3 (no reference per-step numbers recorded)
         "detection_patch_train_per_s": _num(aux["patch_clf"], 0),
         # reference: DilatedCNN ~5.2 vol/s train on P100 (BASELINE.md)
