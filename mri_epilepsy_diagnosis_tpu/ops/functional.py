@@ -14,6 +14,7 @@ semantics, BatchNorm eps/momentum) — required for the `.pth` parity target
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -147,10 +148,52 @@ def _conv3d_vjp_bwd(stride, padding, dilation, res, g):
         precision=_precision_for(x.dtype),
     ).astype(x.dtype)
 
-    # ---- dw: im2col patches + one matmul (channel-major patch features)
+    # ---- dw: formulation depends on shape class (all exact):
+    #  * dense (d=1), patches fit HBM: im2col patches + one MXU matmul
+    #  * patches too big: XLA's dw rule
+    #  * MRI_TPU_DILATED_DW=einsum opt-in: manual static-slice im2col for
+    #    dilated convs.  Every replacement for XLA's dilated-dw paths was
+    #    A/B'd in the DilatedCNN b10 graph and LOST (round 4,
+    #    experiments/dilated_s2b_ab.py + clf_roofline.py): per-tap thin
+    #    einsums 382 ms, manual static-slice im2col 305, per-tap einsums
+    #    for the under-limit convs 324 — vs 297 for XLA's own lowerings
+    #    (with the maxpool-compose fix).  The while-loop patch builds the
+    #    trace attributes 94 ms/step to overlap well enough in practice
+    #    that removing them does not pay.
     patches_bytes = (int(np.prod(g.shape[:4])) * int(np.prod(k)) * ci
                      * x.dtype.itemsize)
-    if patches_bytes <= _DW_PATCHES_BYTES_LIMIT:
+    dilated = dilation != (1, 1, 1)
+    use_einsum = (dilated and
+                  os.environ.get("MRI_TPU_DILATED_DW", "xla") == "einsum")
+    if use_einsum:
+        # manual im2col: static per-tap strided slices stacked, then ONE
+        # MXU matmul — same memory as conv_general_dilated_patches but
+        # without its while-loop lowering (per-tap einsums were also
+        # tried: 27 thin vector-matrix reductions, lost by +26 ms)
+        xpad = jnp.pad(x, ((0, 0),) + tuple((p, p) for p in padding)
+                       + ((0, 0),))
+        o_sp = g.shape[1:4]
+        taps = []
+        for td in range(k[0]):
+            for th in range(k[1]):
+                for tw in range(k[2]):
+                    start = (td * dilation[0], th * dilation[1],
+                             tw * dilation[2])
+                    taps.append(lax.slice(
+                        xpad,
+                        (0, *start, 0),
+                        (xpad.shape[0],
+                         *[start[i] + (o_sp[i] - 1) * stride[i] + 1
+                           for i in range(3)],
+                         xpad.shape[4]),
+                        strides=(1, *stride, 1)))
+        pm = jnp.stack(taps, axis=4).reshape(-1, int(np.prod(k)) * ci)
+        gm = g.reshape(-1, co)
+        dw = jnp.matmul(pm.T, gm,
+                        preferred_element_type=jnp.float32,
+                        precision=_precision_for(x.dtype))
+        dw = dw.reshape(*k, ci, co).astype(w.dtype)
+    elif patches_bytes <= _DW_PATCHES_BYTES_LIMIT:
         patches = lax.conv_general_dilated_patches(
             x, k, stride, [(p, p) for p in padding],
             rhs_dilation=dilation,
@@ -165,9 +208,9 @@ def _conv3d_vjp_bwd(stride, padding, dilation, res, g):
         dw = dw.reshape(ci, *k, co).transpose(1, 2, 3, 0, 4).astype(w.dtype)
     else:
         # fall back to XLA's dw rule when im2col patches would not fit HBM.
-        # (A per-offset strided-slice contraction variant was tried and is
-        # numerically exact, but this platform's remote compiler crashes on
-        # it at patch-training batch shapes; XLA's rule is proven there.)
+        # (The per-tap einsum variant for DENSE convs crashed this
+        # platform's remote compiler at patch-training batch shapes;
+        # XLA's rule is proven there.)
         _, dw_vjp = jax.vjp(
             lambda wv: _conv3d_fwd_raw(x, wv, stride, padding, dilation), w)
         (dw,) = dw_vjp(g)
@@ -175,6 +218,37 @@ def _conv3d_vjp_bwd(stride, padding, dilation, res, g):
 
 
 _conv3d_vjp.defvjp(_conv3d_vjp_fwd, _conv3d_vjp_bwd)
+
+
+# Space-to-batch formulation of the d=3 dilated convs (the DilatedCNN
+# classifier, `classification/models/cnn_model.py:207-257`): output voxel o
+# of a k=3/s=1/d=3/pad=3 conv reads inputs o + 3(t-1), all on o's mod-3
+# phase grid — so the dilated conv decouples into 27 DENSE k=3/pad=1 convs,
+# one per phase triple, batched as one conv on (N*27, S/3, ..., C).  A/B result
+# (experiments/dilated_s2b_ab.py, bf16 b10 180^3 train): s2b 330.2 ms vs
+# native 322.6 — XLA's dilated lowering is NOT the DilatedCNN bottleneck
+# on this toolchain and the phase transposes cost more than they save, so
+# the native path stays the default; opt in via MRI_TPU_DILATED=s2b.
+_DILATED_MODE = os.environ.get("MRI_TPU_DILATED", "native")
+
+
+def _dilated3_applicable(x, w, stride, padding, dilation, groups):
+    return (_DILATED_MODE == "s2b" and groups == 1
+            and dilation == (3, 3, 3) and stride == (1, 1, 1)
+            and padding == (3, 3, 3) and w.shape[:3] == (3, 3, 3)
+            and all(s % 3 == 0 for s in x.shape[1:4]))
+
+
+def _conv3d_s2b3(x, w):
+    """d=3/k=3/s=1/pad=3 conv via phase decomposition (exact)."""
+    n, d, h, wd, c = x.shape
+    xq = x.reshape(n, d // 3, 3, h // 3, 3, wd // 3, 3, c)
+    xq = xq.transpose(0, 2, 4, 6, 1, 3, 5, 7).reshape(
+        n * 27, d // 3, h // 3, wd // 3, c)
+    y = _conv3d_vjp(xq, w, (1, 1, 1), (1, 1, 1), (1, 1, 1))
+    co = y.shape[-1]
+    y = y.reshape(n, 3, 3, 3, d // 3, h // 3, wd // 3, co)
+    return y.transpose(0, 4, 1, 5, 2, 6, 3, 7).reshape(n, d, h, wd, co)
 
 
 def conv3d(x, w, b=None, *, stride=1, padding=0, dilation=1, groups=1,
@@ -186,7 +260,9 @@ def conv3d(x, w, b=None, *, stride=1, padding=0, dilation=1, groups=1,
     """
     stride, dilation = _triple(stride), _triple(dilation)
     padding = _triple(padding)
-    if groups == 1:
+    if _dilated3_applicable(x, w, stride, padding, dilation, groups):
+        y = _conv3d_s2b3(x, w)
+    elif groups == 1:
         y = _conv3d_vjp(x, w, stride, padding, dilation)
     else:
         y = _conv3d_fwd_raw(x, w, stride, padding, dilation, groups)
@@ -313,6 +389,19 @@ def maxpool3d(x, kernel=2, stride=None, padding=0):
     if (kernel == stride and padding == (0, 0, 0)
             and all(x.shape[1 + i] % kernel[i] == 0 for i in range(3))):
         return _maxpool3d_blocks(x, kernel)
+    if (kernel == (4, 4, 4) and stride == (2, 2, 2) and padding == (0, 0, 0)
+            and os.environ.get("MRI_TPU_POOL42", "compose") == "compose"):
+        # max over a k4/s2 window == max of the two adjacent non-overlapping
+        # pairs: maxpool(2,1) o maxpool(2,2), exactly (max associativity,
+        # bit-identical fwd AND grad).  The overlapping k=4 BACKWARD lowers
+        # to a 64-element select_and_scatter costing 39.5 ms/step in the
+        # DilatedCNN b10 train graph; composed, the inner backward is a
+        # non-overlapping 8-element scatter and the outer runs on the
+        # half-size grid — 322.6 -> 297.3 ms/step, 31.0 -> 33.6 vol/s
+        # (experiments/clf_roofline.py + dilated_s2b_ab.py round 4).
+        # Opt-out: MRI_TPU_POOL42=native.
+        inner = maxpool3d(x, kernel=2, stride=2)
+        return maxpool3d(inner, kernel=2, stride=1)
     neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
            else jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
