@@ -223,10 +223,12 @@ def bench_serving_e2e(size, n_vols=32, batch=8):
     tunneled image the host<->device relay runs ~20-70 MB/s, so the
     result is transfer-bound by construction.
 
-    Returns (e2e_vol_per_s, overlap_fraction) where overlap_fraction
-    measures how much of min(transfer, compute) the pipeline hides:
-    (T_transfer + T_compute - T_e2e) / min(T_transfer, T_compute),
-    1.0 = perfectly overlapped, <=0 = fully serialized.
+    Returns (e2e_vol_per_s, pipeline_efficiency) where efficiency =
+    max(T_transfer, T_compute) / T_e2e — 1.0 means the pipeline runs at
+    the speed of its slowest leg (everything else hidden), lower means
+    host-side batching/readback overhead leaks into the wall clock.
+    (A min-leg overlap fraction was tried first and is numerically
+    useless when compute << transfer, as here: tiny denominator.)
     """
     from mri_epilepsy_diagnosis_tpu.infer.serving import segment_volumes
     from mri_epilepsy_diagnosis_tpu.models import UNet3D
@@ -281,13 +283,12 @@ def bench_serving_e2e(size, n_vols=32, batch=8):
     int(out)
     t_compute = time.perf_counter() - t0
 
-    denom = min(t_transfer, t_compute)
-    overlap = ((t_transfer + t_compute - t_e2e) / denom
-               if denom > 0.05 else float("nan"))
+    slowest = max(t_transfer, t_compute)
+    efficiency = slowest / t_e2e if t_e2e > 0 else float("nan")
     print(f"# serving e2e: {n_vols} vols in {t_e2e:.1f}s "
           f"(transfer-only {t_transfer:.1f}s, compute-only {t_compute:.1f}s,"
-          f" overlap {overlap:.2f})", flush=True)
-    return n_vols / t_e2e, overlap
+          f" pipeline efficiency {efficiency:.2f})", flush=True)
+    return n_vols / t_e2e, efficiency
 
 
 def bench_train(state, size, iters, batch=1, packed=False,
@@ -467,10 +468,11 @@ def bench_aux_workloads(on_tpu, iters):
             raise RuntimeError("DilatedCNN geometry needs the 180^3 crop")
         # Headline: bf16 mixed precision at the reference batch 10 FLAT —
         # the only b10 graph this platform's remote compiler accepts
-        # (f32 flat b10 crashes it) and the fastest mode at 30.9 vol/s
-        # (experiments/dilated_bf16_probe.py).  Then the f32 comparison:
-        # scan-based gradient accumulation micro=5 (20.0 vol/s,
-        # experiments/accum_probe.py), flat b4 (19.5) and b2 as fallbacks.
+        # (f32 flat b10 crashes it); 33.6 vol/s since the round-4
+        # maxpool(4,2) decomposition (experiments/dilated_s2b_ab.py;
+        # 30.9 in r3).  Then the f32 comparison: scan-based gradient
+        # accumulation micro=5 (20.0 vol/s, experiments/accum_probe.py),
+        # flat b4 (19.5) and b2 as fallbacks.
         size = 180
         rates = {}
         for b, micro, dt, budget in ((10, 0, "bf16", 600),
@@ -860,7 +862,7 @@ def main():
         # reference GridSampler/GridAggregator path (64^3 patches, overlap 4)
         "sliding_window_vol_per_s": _num(sliding_rate),
         "serving_e2e_vol_per_s": _num(serving_rate, 2),
-        "serving_overlap_fraction": _num(serving_overlap, 2),
+        "serving_pipeline_efficiency": _num(serving_overlap, 2),
         # BASELINE configs 1-3 (no reference per-step numbers recorded)
         "detection_patch_train_per_s": _num(aux["patch_clf"], 0),
         # reference: DilatedCNN ~5.2 vol/s train on P100 (BASELINE.md)

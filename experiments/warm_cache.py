@@ -57,10 +57,35 @@ def warm_ensemble_b16() -> None:
           flush=True)
 
 
+def warm_serving_e2e() -> None:
+    """The r4 end-to-end serving step (int16 transfer + device znorm +
+    BN-folded packed mask) — same jitted graph bench_serving_e2e runs."""
+    import bench
+    t0 = time.perf_counter()
+    print(bench.bench_serving_e2e(192, n_vols=8, batch=8), flush=True)
+    print(f"# serving e2e warm in {time.perf_counter() - t0:.0f}s",
+          flush=True)
+
+
+def warm_dilated_b10() -> None:
+    """DilatedCNN bf16 b10 with the r4 maxpool(4,2) decomposition."""
+    import subprocess
+    import os
+    t0 = time.perf_counter()
+    here = os.path.dirname(os.path.abspath(__file__))
+    subprocess.run([sys.executable,
+                    os.path.join(here, "dilated_s2b_ab.py"), "one",
+                    "native"], check=True)
+    print(f"# dilated b10 warm in {time.perf_counter() - t0:.0f}s",
+          flush=True)
+
+
 if __name__ == "__main__":
     ok = True
     for name, fn in (("infer_b16", warm_infer_b16),
-                     ("ensemble_b16", warm_ensemble_b16)):
+                     ("ensemble_b16", warm_ensemble_b16),
+                     ("serving_e2e", warm_serving_e2e),
+                     ("dilated_b10", warm_dilated_b10)):
         try:
             fn()
         except Exception as e:  # a crashed compile must not block the other
