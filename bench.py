@@ -248,7 +248,8 @@ def bench_serving_e2e(size, n_vols=32, batch=8):
         outs = list(segment_volumes(
             model.apply, variables, vols, batch_size=batch,
             dtype=jnp.bfloat16, transfer_dtype=np.int16,
-            device_preprocess=_serving_znorm, mask_fn=packed_unet_mask_v2))
+            device_preprocess=_serving_znorm, mask_fn=packed_unet_mask_v2,
+            pack_masks=True))
         assert len(outs) == n_vols and outs[0]["mask"].shape == (size,) * 3
         return time.perf_counter() - t0
 
@@ -256,10 +257,10 @@ def bench_serving_e2e(size, n_vols=32, batch=8):
     t_e2e = run_pipeline()
 
     # pure-transfer pass: the same bytes up (int16 batches) and down
-    # (uint8 masks), no compute
+    # (bit-packed masks, 8 voxels/byte), no compute
     xb = np.stack(vols[:batch])[..., None]
     up = jax.device_put(xb)
-    mask_dev = jnp.zeros((batch,) + (size,) * 3, jnp.uint8)
+    mask_dev = jnp.zeros((batch, size // 8, size, size), jnp.uint8)
     np.asarray(mask_dev)               # materialize before timing
     n_batches = (n_vols + batch - 1) // batch
     t0 = time.perf_counter()

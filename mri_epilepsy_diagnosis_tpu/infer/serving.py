@@ -20,13 +20,37 @@ from ..data.pipeline import DevicePrefetcher
 _STEP_CACHE: dict = {}
 
 
+def _packbits_device(mask):
+    """Binary (B, D, H, W) uint mask -> (B, D//8, H, W) uint8: bit i of
+    byte j along D is voxel 8j+i (little-endian) — np.unpackbits(axis=1,
+    bitorder='little') inverts it on host.  Cuts the mask download 8x on
+    the ~40-70 MB/s tunnel (the serving wall-clock is transfer-bound).
+
+    Packs along the LEADING spatial axis on purpose: packing the minor
+    (lane) axis leaves every op on a 128-lane tile that is 24 wide —
+    measured 12.3 s vs 8.4 unpacked for the 16-volume pipeline; D-axis
+    packing keeps full (H, W) lane tiles (8 strided slices + shift-or)."""
+    m = mask.astype(jnp.uint8)
+    d = m.shape[1]
+    out = None
+    for i in range(8):
+        part = jax.lax.slice_in_dim(m, i, d, stride=8, axis=1) << i
+        out = part if out is None else out | part
+    return out
+
+
+def _unpackbits_host(packed, d):
+    bits = np.unpackbits(np.asarray(packed), axis=1, bitorder="little")
+    return bits[:, :d]
+
+
 def _serving_step(apply_fn, classify_fn, dtype, device_preprocess=None,
-                  mask_fn=None):
+                  mask_fn=None, pack_masks=False):
     """One jitted step per (apply_fn, classify_fn, dtype, device_preprocess,
-    mask_fn): repeated segment_volumes calls must not re-trace (remote
-    compiles cost minutes)."""
+    mask_fn, pack_masks): repeated segment_volumes calls must not re-trace
+    (remote compiles cost minutes)."""
     key = (apply_fn, classify_fn, jnp.dtype(dtype).name, device_preprocess,
-           mask_fn)
+           mask_fn, pack_masks)
     if key in _STEP_CACHE:
         # LRU, not FIFO: re-insert on hit so a server cycling through many
         # step combos never evicts its hottest compiled step (remote
@@ -45,10 +69,11 @@ def _serving_step(apply_fn, classify_fn, dtype, device_preprocess=None,
                 # e.g. models.unet_packed.packed_unet_mask_v2: in-packed-
                 # space class compare, ~6% faster than argmax-on-logits at
                 # b16 192^3 (experiments/mask_epilogue_ab.py)
-                out = {"mask": mask_fn(variables, x).astype(jnp.uint8)}
+                mask = mask_fn(variables, x).astype(jnp.uint8)
             else:
                 logits = apply_fn(variables, x)
-                out = {"mask": jnp.argmax(logits, axis=-1).astype(jnp.uint8)}
+                mask = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            out = {"mask": _packbits_device(mask) if pack_masks else mask}
             if classify_fn is not None:
                 out["probs"] = jax.nn.softmax(
                     classify_fn(variables, x), axis=-1)
@@ -79,7 +104,8 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
                     sharding=None,
                     device_preprocess: Optional[Callable] = None,
                     transfer_dtype=None,
-                    mask_fn: Optional[Callable] = None) -> Iterator[dict]:
+                    mask_fn: Optional[Callable] = None,
+                    pack_masks: bool = False) -> Iterator[dict]:
     """Stream (D,H,W) or (D,H,W,1) volumes -> dicts with 'mask' (uint8) and
     optionally 'probs' from a classifier head.
 
@@ -106,6 +132,12 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
     a fresh closure per call means a fresh trace + remote compile per call.
     `preprocess` (host-side, float) and `transfer_dtype` are mutually
     exclusive — host preprocessing would silently re-widen the transfer.
+
+    `pack_masks=True` (BINARY masks only — the 2-class segmenter) packs 8
+    voxels/byte along the D axis on device and unpacks on host: 8x
+    smaller mask downloads on the transfer-bound tunnel.  Requires
+    D %% 8 == 0; the yielded 'mask' arrays are identical to the unpacked
+    path.
     """
     if transfer_dtype is not None and preprocess is not None:
         raise ValueError(
@@ -125,20 +157,28 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
         return v
 
     step = _serving_step(apply_fn, classify_fn, dtype, device_preprocess,
-                         mask_fn)
+                         mask_fn, pack_masks)
 
     counts: list = []
+    mask_w: list = []
 
     def producer():
         # yield host arrays: prefetch_to_device does the single (sharded)
         # transfer — staging via jnp.asarray here would commit every batch
         # to device 0 first and pay the hop twice
         for arr, n in _batched((prepare(v) for v in volumes), batch_size):
+            if pack_masks and arr.shape[1] % 8:
+                raise ValueError(
+                    f"pack_masks needs the D dim divisible by 8, got "
+                    f"{arr.shape[1]} (binary masks only, e.g. the 2-class "
+                    f"segmenter)")
             counts.append(n)
+            mask_w.append(arr.shape[1])
             yield arr
 
-    def drain(out, n):
-        masks = np.asarray(out["mask"])[:n]
+    def drain(out, n, w):
+        masks = (_unpackbits_host(out["mask"], w)[:n] if pack_masks
+                 else np.asarray(out["mask"])[:n])
         probs = (np.asarray(out["probs"])[:n]
                  if classify_fn is not None else None)
         for i in range(n):
@@ -166,18 +206,18 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
                 batch = staged.get()
             if batch is None:
                 break
-            n = counts.pop(0)
+            n, w = counts.pop(0), mask_w.pop(0)
             out = step(variables, batch)
             if pending is not None:
                 yield from drain(*pending)
-            pending = (out, n)
+            pending = (out, n, w)
     except Exception:
         # a producer-side error (bad volume, preprocess failure) must not
         # discard the already-computed batch parked in `pending`
         if pending is not None:
-            out, n = pending
+            out, n, w = pending
             pending = None
-            yield from drain(out, n)
+            yield from drain(out, n, w)
         raise
     if pending is not None:
         yield from drain(*pending)

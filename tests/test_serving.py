@@ -1,4 +1,5 @@
 """Continuous batched serving pipeline."""
+import pytest
 import numpy as np
 
 import jax
@@ -253,3 +254,31 @@ def test_step_cache_evicts_lru_not_fifo():
     finally:
         S._STEP_CACHE.clear()
         S._STEP_CACHE.update(saved)
+
+
+def test_segment_volumes_pack_masks(rng):
+    """pack_masks=True (8 voxels/byte on device, np.unpackbits on host)
+    must yield masks identical to the plain path, including a padded
+    final batch."""
+    _F.set_precision_override("fast")
+    try:
+        model = UNet3D(out_channels_first_layer=4, num_encoding_blocks=2)
+        v = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)))
+        vols = [rng.normal(size=(16, 16, 16)).astype(np.float32)
+                for _ in range(3)]
+        plain = list(segment_volumes(model.apply, v, vols, batch_size=2,
+                                     dtype=jnp.float32))
+        packed = list(segment_volumes(model.apply, v, vols, batch_size=2,
+                                      dtype=jnp.float32, pack_masks=True))
+        assert len(packed) == 3
+        for a, b in zip(packed, plain):
+            assert a["mask"].shape == (16, 16, 16)
+            np.testing.assert_array_equal(a["mask"], b["mask"])
+
+        with pytest.raises(ValueError, match="divisible by 8"):
+            list(segment_volumes(
+                model.apply, v,
+                [rng.normal(size=(12, 12, 12)).astype(np.float32)],
+                batch_size=1, dtype=jnp.float32, pack_masks=True))
+    finally:
+        _F.set_precision_override(None)
