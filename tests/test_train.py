@@ -232,9 +232,16 @@ def test_fader_training_steps():
     assert all(p.dtype == jnp.float32 for p in leaves)
 
 
+@pytest.mark.isolated
 def test_packed_seg_training_loop():
     """train_segmentation(packed=True): the packed execution-layout steps
-    drive the same epoch loop (train + eval) and reduce the loss."""
+    drive the same epoch loop (train + eval) and reduce the loss.
+
+    `isolated`: this exact test segfaulted two full-suite runs (r3 + r4
+    baseline) inside XLA's CPU `backend_compile_and_load` after ~200
+    in-process compiles, while passing standalone every time — the
+    accumulated-compile-state crash the conftest subprocess isolation
+    exists for."""
     model = UNet3D(out_channels_first_layer=4, num_encoding_blocks=3)
     state = create_train_state(model, torch_adamw(1e-3),
                                jnp.zeros((1, 16, 16, 16, 1)))

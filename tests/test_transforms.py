@@ -128,8 +128,14 @@ def test_register_affine_recovers_translation():
     blob = np.exp(-(((g[0] - 16) / 6) ** 2 + ((g[1] - 16) / 5) ** 2
                     + ((g[2] - 16) / 7) ** 2))
     shifted = np.roll(blob, (3, -2, 1), axis=(0, 1, 2))
+    # search=False: this gate checks the DESCENT path recovers the exact
+    # matrix.  An axis-symmetric Gaussian blob is pose-ambiguous — with
+    # the global search on, a rotated candidate matches at corr > 0.99
+    # with a different (equally valid) affine.  The search path has its
+    # own gates on the asymmetric real template
+    # (test_registration_capture_range_quarter_turn, the MNI gate).
     aff, warped = R.register_affine(shifted, blob, levels=(2, 1),
-                                    iters=(150, 80), dof=6)
+                                    iters=(150, 80), dof=6, search=False)
     corr = np.corrcoef(np.asarray(warped).ravel(), blob.ravel())[0, 1]
     assert corr > 0.99
     # recovered translation ~ (3, -2, 1) in the output->input direction
