@@ -469,11 +469,13 @@ def bench_aux_workloads(on_tpu, iters):
             raise RuntimeError("DilatedCNN geometry needs the 180^3 crop")
         # Headline: bf16 mixed precision at the reference batch 10 FLAT —
         # the only b10 graph this platform's remote compiler accepts
-        # (f32 flat b10 crashes it); 33.6 vol/s since the round-4
-        # maxpool(4,2) decomposition (experiments/dilated_s2b_ab.py;
-        # 30.9 in r3).  Then the f32 comparison: scan-based gradient
-        # accumulation micro=5 (20.0 vol/s, experiments/accum_probe.py),
-        # flat b4 (19.5) and b2 as fallbacks.
+        # (f32 flat b10 crashes it); 46.5 vol/s since round 4
+        # (maxpool(4,2) decomposition + the 50 MB dw-patch threshold
+        # routing big dws to XLA's rule — experiments/dilated_s2b_ab.py,
+        # dw_limit_ab.py; 30.9 in r3).  Then the f32 comparison:
+        # scan-based gradient accumulation micro=5 (20.0 vol/s,
+        # experiments/accum_probe.py), flat b4 (19.5) and b2 as
+        # fallbacks.
         size = 180
         rates = {}
         for b, micro, dt, budget in ((10, 0, "bf16", 600),

@@ -112,8 +112,17 @@ def _conv3d_fwd_raw(x, w, stride, padding, dilation, groups=1):
 # the dw conv becomes a huge-kernel conv that tiles terribly with thin
 # channels.  The custom VJP below computes dx as a plain flipped-kernel conv
 # (exact for stride 1; strided convs dilate the cotangent first) and dw as
-# im2col patches + one MXU matmul.
-_DW_PATCHES_BYTES_LIMIT = 3 * 1024 ** 3
+# im2col patches + one MXU matmul — but ONLY while the patch tensor stays
+# small: at scale the materialized patches plus XLA's transposed copy of
+# the patch matrix dominate (0.5-1.9 GB copies per conv, 16 GB/step in the
+# VoxResNet b10 graph), and XLA's own dw rule wins big.  Threshold A/B'd
+# round 4 (experiments/dw_limit_ab.py, clf_roofline.py; r3 default was
+# 3 GB): at 50 MB — VoxResNet 18.8 -> 31.6 vol/s, DilatedCNN 33.6 -> 46.5,
+# AE 128^3 28.2 -> 35.6, fader alternation 25.3 -> 46.2, while the small
+# convs where XLA's rule is the pathological one (thin-channel stems,
+# test-size graphs) keep the im2col path.
+_DW_PATCHES_BYTES_LIMIT = int(os.environ.get(
+    "MRI_TPU_DW_LIMIT", 50_000_000))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -157,9 +166,8 @@ def _conv3d_vjp_bwd(stride, padding, dilation, res, g):
     #    experiments/dilated_s2b_ab.py + clf_roofline.py): per-tap thin
     #    einsums 382 ms, manual static-slice im2col 305, per-tap einsums
     #    for the under-limit convs 324 — vs 297 for XLA's own lowerings
-    #    (with the maxpool-compose fix).  The while-loop patch builds the
-    #    trace attributes 94 ms/step to overlap well enough in practice
-    #    that removing them does not pay.
+    #    (with the maxpool-compose fix), and 215 ms once the 50 MB patch
+    #    threshold routes the big dilated dws to XLA's rule too.
     patches_bytes = (int(np.prod(g.shape[:4])) * int(np.prod(k)) * ci
                      * x.dtype.itemsize)
     dilated = dilation != (1, 1, 1)
