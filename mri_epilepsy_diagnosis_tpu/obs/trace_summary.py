@@ -147,6 +147,29 @@ def hlo_copy_rows(hlo_text: str) -> List[Tuple[int, str, str, str]]:
     return rows
 
 
+_HLO_COLLECTIVE = re.compile(
+    r"(?:ROOT )?%?([\w.-]+) = ([^=]+?) "
+    r"(all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)"
+    r"(?:-start)?\(")
+
+
+def hlo_collective_rows(hlo_text: str) -> List[Tuple[int, str, str, str]]:
+    """Every collective in an optimized (post-GSPMD) HLO dump as
+    (output bytes, collective kind, instruction name, shape string),
+    largest first.  The sharding gates use this to prove GSPMD inserted
+    halo exchanges / grad reductions and NOT a full-volume all-gather —
+    its favorite silent failure on spatially-partitioned convs."""
+    rows = []
+    for line in hlo_text.splitlines():
+        m = _HLO_COLLECTIVE.match(line.strip())
+        if not m:
+            continue
+        rows.append((hlo_shape_bytes(m.group(2)), m.group(3), m.group(1),
+                     m.group(2).strip()))
+    rows.sort(reverse=True)
+    return rows
+
+
 def print_copy_report(rows: List[Tuple[int, str, str, str]], top: int = 25,
                       by_src_top: int = 20) -> None:
     """Top copies by bytes + a rollup by source op_name tail component."""
