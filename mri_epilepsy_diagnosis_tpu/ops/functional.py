@@ -118,9 +118,10 @@ def _conv3d_fwd_raw(x, w, stride, padding, dilation, groups=1):
 # VoxResNet b10 graph), and XLA's own dw rule wins big.  Threshold A/B'd
 # round 4 (experiments/dw_limit_ab.py, clf_roofline.py; r3 default was
 # 3 GB): at 50 MB — VoxResNet 18.8 -> 31.6 vol/s, DilatedCNN 33.6 -> 46.5,
-# AE 128^3 28.2 -> 35.6, fader alternation 25.3 -> 46.2, while the small
-# convs where XLA's rule is the pathological one (thin-channel stems,
-# test-size graphs) keep the im2col path.
+# AE 128^3 28.2 -> 35.6, fader alternation 25.3 -> 46.2, and even the
+# fine 64^3 b16 patch-train step (the thin-channel case the im2col dw was
+# originally built for) runs 2.2x faster (353 -> 162 ms/step).  Small
+# convs below the threshold keep im2col.
 _DW_PATCHES_BYTES_LIMIT = int(os.environ.get(
     "MRI_TPU_DW_LIMIT", 50_000_000))
 
