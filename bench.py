@@ -266,7 +266,8 @@ def bench_serving_e2e(size, n_vols=32, batch=8):
     t0 = time.perf_counter()
     for _ in range(n_batches):
         up = jax.device_put(xb)
-        up.block_until_ready()
+        int(up[0, 0, 0, 0, 0])         # scalar readback: block_until_ready
+        #                                does not sync on this transport
         np.asarray(mask_dev)           # result readback
     t_transfer = time.perf_counter() - t0
 

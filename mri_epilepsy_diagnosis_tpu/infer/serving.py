@@ -68,10 +68,21 @@ def _serving_step(apply_fn, classify_fn, dtype, device_preprocess=None,
             if mask_fn is not None:
                 # e.g. models.unet_packed.packed_unet_mask_v2: in-packed-
                 # space class compare, ~6% faster than argmax-on-logits at
-                # b16 192^3 (experiments/mask_epilogue_ab.py)
+                # b16 192^3 (experiments/mask_epilogue_ab.py).  mask_fn's
+                # output range is opaque here; pack_masks' binary contract
+                # is the caller's to honour (packed_unet_mask_v2 enforces
+                # out_classes == 2 itself).
                 mask = mask_fn(variables, x).astype(jnp.uint8)
             else:
                 logits = apply_fn(variables, x)
+                if pack_masks and logits.shape[-1] > 2:
+                    # >= 2 class ids would OR bits of different classes
+                    # together in the packed download — corrupt, not wrong-
+                    # but-plausible, so fail at trace time (ADVICE r4)
+                    raise ValueError(
+                        f"pack_masks=True needs a binary mask, but apply_fn "
+                        f"emits {logits.shape[-1]} classes; pass a binary "
+                        f"mask_fn or pack_masks=False")
                 mask = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
             out = {"mask": _packbits_device(mask) if pack_masks else mask}
             if classify_fn is not None:

@@ -233,9 +233,20 @@ class GridAggregator:
     non-border face, overwrite in batch order — see `_crop_boxes`)."""
 
     def __init__(self, spatial_shape, num_classes: int = 1,
-                 overlap_mode: str = "average", patch_overlap=0):
+                 overlap_mode: str = "average", patch_overlap=None):
         if overlap_mode not in ("average", "crop"):
             raise ValueError(f"unknown overlap_mode {overlap_mode}")
+        if overlap_mode == "crop" and not np.any(patch_overlap):
+            # torchio's aggregator receives the overlap from its sampler; an
+            # unset/zero overlap here would silently degrade 'crop' to
+            # full-patch overwrite-in-order (ADVICE r4) — require it.
+            raise ValueError(
+                "overlap_mode='crop' needs the sampler's patch_overlap "
+                "(e.g. GridAggregator(..., patch_overlap=sampler."
+                "patch_overlap)); got "
+                f"{patch_overlap!r}")
+        if patch_overlap is None:
+            patch_overlap = 0
         self.spatial = tuple(spatial_shape)
         self.overlap_mode = overlap_mode
         self.patch_overlap = patch_overlap

@@ -182,7 +182,8 @@ def register_affine(moving, fixed,
                     search: bool = True,
                     search_range_deg: float = 180.0,
                     search_step_deg: float = 30.0,
-                    search_starts: int = 3
+                    search_starts: int = 3,
+                    early_accept_ncc: float = 0.95
                     ) -> Tuple[np.ndarray, jnp.ndarray]:
     """Affine-register `moving` (D,H,W) onto `fixed`'s grid.
 
@@ -195,9 +196,8 @@ def register_affine(moving, fixed,
     multi-start strategy).  Disable only for known-near-identity inputs.
     A candidate reaching NCC >= `early_accept_ncc` is accepted without
     descending the remaining starts (typical well-posed cases cost one
-    descent).
+    descent); pass `early_accept_ncc > 1` to always descend every start.
     """
-    early_accept_ncc = 0.95
     moving = jnp.asarray(moving, jnp.float32)
     fixed = jnp.asarray(fixed, jnp.float32)
     starts = [jnp.zeros((12,), jnp.float32)]
