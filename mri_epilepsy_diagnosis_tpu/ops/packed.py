@@ -904,6 +904,122 @@ def _upconv_hybrid_bwd(res, g):
 upconv_core_hybrid.defvjp(_upconv_hybrid_fwd, _upconv_hybrid_bwd)
 
 
+# ---------------------------------------------------------------------------
+# stride-2 conv variants (the VoxResNet stem/downsample path, round 5)
+#
+# A fine k=3/s=2/p=1 conv maps fine grid S -> S/2.  Emitting the PACKED
+# output directly as one dense (3,3,3,8Ci,8Co) conv costs 8x the fine FLOPs
+# (for s=2 every (output-sub, tap) pair hits a DISTINCT input (cell, sub),
+# so the dense kernel is only 12.5% populated).  Splitting by output
+# sub-position instead gives 8 phase convolutions that share ONE
+# (2,2,2,8Ci,Co) kernel — per phase the (tap -> window-cell, input-sub)
+# map is sub-independent — and differ only in their per-axis padding.
+# Dense-in-sub FLOPs: 64/27 of fine, the same ratio as the s=1 pack2 conv.
+# Reference shapes: VoxResNet conv3d_1..conv3d_6,
+# classification/models/cnn_model.py:43-101.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _axis_table_s2():
+    """Per-axis table B[t, wpos, r]: output sub s's tap t reads, within its
+    phase-s window [2X+s-1, 2X+s], window cell `wpos` sub `r`, with
+    (wpos, r) = divmod(t + 1, 2) — independent of s."""
+    b = np.zeros((3, 2, 2), np.float32)
+    for t in range(3):
+        wpos, r = divmod(t + 1, 2)
+        b[t, wpos, r] = 1.0
+    return b
+
+
+def pack_weights2_s2(w):
+    """Fine (3,3,3,Ci,Co) stride-2 kernel -> the shared phase kernel
+    (2,2,2,8Ci,Co) for `conv3s2_packed_aa` (all 8 output sub-position
+    phases share it; only the conv padding differs per phase)."""
+    ci, co = w.shape[3], w.shape[4]
+    b = jnp.asarray(_axis_table_s2(), w.dtype)
+    wp = jnp.einsum("ade,bfg,chi,abcmn->dfhegimn", b, b, b, w)
+    return wp.reshape(2, 2, 2, 8 * ci, co)
+
+
+def conv3s2_packed_aa(xp_aligned, wk, bias=None):
+    """Fine k=3/stride-2/pad-1 conv in packed space: ALIGNED packed input
+    (N, S2, S2, S2, 8Ci) [fine res 2*S2] -> ALIGNED packed output
+    (N, S2/2, ..., 8Co) [fine res S2].  S2 must be even.
+
+    Executed as 8 stride-2 phase convolutions sharing `wk` (from
+    `pack_weights2_s2`); phase s's window on each axis starts at cell
+    2X+s-1, expressed as left padding (1-s).  Outputs concatenate
+    sub-position-major — the packed channel order."""
+    parts = []
+    for sd in range(2):
+        for sh in range(2):
+            for sw in range(2):
+                y = lax.conv_general_dilated(
+                    xp_aligned, wk.astype(xp_aligned.dtype),
+                    window_strides=(2, 2, 2),
+                    padding=[(1 - sd, 0), (1 - sh, 0), (1 - sw, 0)],
+                    dimension_numbers=F.CONV3D_DIMS,
+                    preferred_element_type=F._preferred_for(
+                        xp_aligned, jnp.float32),
+                    precision=F._precision_for(xp_aligned.dtype),
+                ).astype(xp_aligned.dtype)
+                parts.append(y)
+    y = jnp.concatenate(parts, axis=-1)
+    if bias is not None:
+        y = y + jnp.tile(bias, 8).astype(y.dtype)
+    return y
+
+
+@functools.lru_cache(maxsize=None)
+def _input_kernel_index_s2():
+    """Scatter indices folding pack2_shifted into a fine s=2 stem conv:
+    shifted output cell Q sub r (= fine output voxel 2Q-1+r) tap t reads
+    fine input 4Q+2r+t-3, i.e. window index j = 2r+t of a k=5/stride-4/
+    pad-(3,2) convolution."""
+    src, dst = [], []
+    for rd in range(2):
+        for rh in range(2):
+            for rw in range(2):
+                so = (rd * 2 + rh) * 2 + rw
+                for td in range(3):
+                    for th in range(3):
+                        for tw in range(3):
+                            src.append((td, th, tw))
+                            dst.append((2 * rd + td, 2 * rh + th,
+                                        2 * rw + tw, so))
+    return np.asarray(src), np.asarray(dst)
+
+
+def pack_input_weights_s2(w):
+    """Fine (3,3,3,Ci,Co) stride-2 kernel -> (5,5,5,Ci,8Co) for
+    `conv_input_packed_s2`."""
+    ci, co = w.shape[3], w.shape[4]
+    src, dst = _input_kernel_index_s2()
+    wp = jnp.zeros((5, 5, 5, ci, 8, co), w.dtype)
+    wp = wp.at[dst[:, 0], dst[:, 1], dst[:, 2], :,
+               dst[:, 3], :].set(w[src[:, 0], src[:, 1], src[:, 2]])
+    return wp.reshape(5, 5, 5, ci, 8 * co)
+
+
+def conv_input_packed_s2(x_fine, wp, bias=None):
+    """Fine (N,S,S,S,Ci) -> SHIFTED packed (N,S/4+1,...,8Co) at fine res
+    S/2, fusing a fine k=3/s=2/p=1 stem conv with pack2_shifted (one k=5/
+    stride-4/pad-(3,2) conv).  The shifted pad voxels (fine -1 and S/2)
+    hold the kernel's zero-pad extrapolation — callers must
+    `zero_shifted_pads` before using batch statistics."""
+    y = lax.conv_general_dilated(
+        x_fine, wp.astype(x_fine.dtype),
+        window_strides=(4, 4, 4), padding=[(3, 2)] * 3,
+        dimension_numbers=F.CONV3D_DIMS,
+        preferred_element_type=F._preferred_for(x_fine, jnp.float32),
+        precision=F._precision_for(x_fine.dtype),
+    ).astype(x_fine.dtype)
+    if bias is not None:
+        y = y + jnp.tile(bias, 8).astype(y.dtype)
+    return y
+
+
 def maxpool2_packed_cascade(xp):
     """maxpool2 via three lane-block max halvings + pack2 (no (…,8,C)
     sub-axis reshape of the full tensor)."""
