@@ -423,6 +423,31 @@ def _b16_cache_warm(size: int, timeout_s: int = 900) -> bool:
     return ok
 
 
+def _auto_warm_cache() -> bool:
+    """Cold-cache recovery (VERDICT r4 #7): run experiments/warm_cache.py —
+    the uncapped compiles of every headline executable — as a logged
+    subprocess, so a recycled machine recovers the b16 headline in ONE
+    bench invocation instead of an operator remembering the ritual.
+    Opt-out: MRI_TPU_AUTO_WARM=0 (the probe-only r4 behavior)."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "experiments", "warm_cache.py")
+    print("# cold cache detected -> running warm_cache.py (uncapped; cold "
+          "b16 compiles are relay-health-dependent, 1-21 min each)",
+          flush=True)
+    t0 = time.perf_counter()
+    proc = subprocess.run([sys.executable, script], stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT, text=True)
+    for line in proc.stdout.splitlines():
+        print(f"# warm| {line}", flush=True)
+    print(f"# warm_cache.py rc={proc.returncode} "
+          f"in {time.perf_counter() - t0:.0f}s", flush=True)
+    return proc.returncode == 0
+
+
 def _ensemble_b16_cache_warm(timeout_s: int = 900) -> bool:
     """True iff the batch-16 ensemble executable is in the persistent cache.
     Re-invokes this script with --probe-ensemble-b16 so the probe subprocess
@@ -713,9 +738,16 @@ def main():
     # takes ~21 min, which SIGALRM cannot interrupt (native call).  Probe
     # the persistent cache with a hard-killed subprocess: only a warm cache
     # compiles inside the timeout, and after a successful probe the main
-    # process reloads the executable in seconds.
-    if on_tpu and _b16_cache_warm(size):
-        batch = 16
+    # process reloads the executable in seconds.  A cold cache (recycled
+    # machine) triggers the uncapped warm_cache.py run first (r5).
+    if on_tpu:
+        import os as _os
+        warm = _b16_cache_warm(size)
+        if not warm and _os.environ.get("MRI_TPU_AUTO_WARM", "1") != "0":
+            _auto_warm_cache()
+            warm = _b16_cache_warm(size)
+        if warm:
+            batch = 16
 
     # headline: packed-v2 execution layout; fine path as fallback + for
     # the fine-layout comparison key
@@ -829,17 +861,25 @@ def main():
                   flush=True)
 
     # patch-training throughput (64^3 patches, batch 16 — the reference's
-    # torchio Queue workload, pretraining_3d_unet.ipynb cell 25)
-    patch_rate = float("nan")
+    # torchio Queue workload, pretraining_3d_unet.ipynb cell 25).  Both
+    # layouts are benched since r5: `train_patches_per_s` stays the packed
+    # headline; `train_patches_fine_per_s` records the fine path, where the
+    # r4 50 MB dw-threshold cut the step 353 -> 162 ms (dw_limit_ab.py)
+    # but had no bench key (VERDICT r4 #6).
+    patch_rate, patch_fine_rate = float("nan"), float("nan")
     ps = 64 if on_tpu else 16
     for packed in ((True, False) if on_tpu else (False,)):
         try:
             with _deadline(600):
                 state = create_train_state(model, torch_adamw(1e-3),
                                            jnp.zeros((1, 16, 16, 16, 1)))
-                patch_rate = bench_train(state, ps, iters, batch=16,
-                                         packed=packed)
-            break
+                r = bench_train(state, ps, iters, batch=16, packed=packed)
+            if packed:
+                patch_rate = r
+            else:
+                patch_fine_rate = r
+                if patch_rate != patch_rate:  # CPU smoke / packed failed
+                    patch_rate = r
         except Exception as e:
             print(f"# patch train bench (packed={packed}) failed: "
                   f"{type(e).__name__}", flush=True)
@@ -859,6 +899,7 @@ def main():
         "train_dtype": train_dtype,
         "train_f32_vol_per_s": _num(train_f32_rate),
         "train_patches_per_s": _num(patch_rate, 1),
+        "train_patches_fine_per_s": _num(patch_fine_rate, 1),
         "patch_vs_baseline": _num(patch_rate / REFERENCE_TRAIN_PATCHES_PER_S, 1),
         # north star: >=50 vol/s seg+clf on v5e-8 => 6.25 vol/s per chip
         "ensemble_vol_per_s": _num(ensemble_rate),

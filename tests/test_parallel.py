@@ -269,3 +269,118 @@ def test_wait_for_backend_paths():
     hang = [sys.executable, "-c", "import time; time.sleep(30)"]
     assert wait_for_backend(max_wait_s=0.5, probe_timeout_s=0.3,
                             retry_sleep_s=0.1, _probe_cmd=hang) is False
+
+
+def test_classification_train_steps_on_mesh_match_single_device(rng):
+    """VERDICT r4 #2: the whole-volume classification train step — both the
+    fine `_class_step` and the packed VoxResNet step — run data-parallel on
+    the 8-device mesh; gradients all-reduce and PARAMS (not just loss) must
+    match the unsharded step."""
+    _require_devices(8)
+    from mri_epilepsy_diagnosis_tpu.models import VoxResNet
+    from mri_epilepsy_diagnosis_tpu.models.voxresnet_packed import (
+        voxresnet_class_step_packed)
+    from mri_epilepsy_diagnosis_tpu.train.classification import _class_step
+    from mri_epilepsy_diagnosis_tpu.train.optim import torch_adam
+    from mri_epilepsy_diagnosis_tpu.train.state import create_train_state
+
+    mesh = create_mesh(("data",))
+    S = 32
+    model = VoxResNet(input_shape=(S,) * 3, n_filters=4, stride=2,
+                      n_blocks=3, dropout=0.5, n_fc_units=16)
+    x = jnp.asarray(rng.normal(size=(8, S, S, S, 1)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, 8), jnp.int32)
+    key = jax.random.key(3)
+
+    def run(step, shard):
+        st = create_train_state(model, torch_adam(1e-3),
+                                jnp.zeros((1, S, S, S, 1)))
+        xs, ys = x, y
+        if shard:
+            st = jax.device_put(st, NamedSharding(mesh, P()))
+            ds = NamedSharding(mesh, P("data"))
+            xs, ys = jax.device_put(x, ds), jax.device_put(y, ds)
+        st, loss, _ = step(st, xs, ys)
+        return float(loss), st
+
+    steps = {
+        "fine": lambda st, xs, ys: _class_step(st, xs, ys, key, True),
+        "packed": lambda st, xs, ys: voxresnet_class_step_packed(
+            st, xs, ys, key, model=model),
+    }
+    for name, step in steps.items():
+        loss_ref, st_ref = run(step, False)
+        loss_sh, st_sh = run(step, True)
+        np.testing.assert_allclose(loss_sh, loss_ref, rtol=1e-3, atol=1e-3,
+                                   err_msg=name)
+        for a, b in zip(jax.tree_util.tree_leaves(st_sh.params),
+                        jax.tree_util.tree_leaves(st_ref.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0.05, atol=5e-3, err_msg=name)
+
+
+def test_fader_alternation_on_mesh_matches_single_device(rng):
+    """VERDICT r4 #2: the 3-optimizer fader alternation (disc step +
+    enc/clf step — the hardest state to shard correctly) data-parallel on
+    the mesh; every one of the three params trees must match unsharded.
+    Reference: train_ENC_CLF.ipynb cell 16 (SURVEY §2.3 DP row)."""
+    _require_devices(8)
+    from mri_epilepsy_diagnosis_tpu.models import Classificator, Discriminator
+    from mri_epilepsy_diagnosis_tpu.models.fader import make_encoder
+    from mri_epilepsy_diagnosis_tpu.train.fader import (FaderState, disc_step,
+                                                        enc_clf_step)
+    from mri_epilepsy_diagnosis_tpu.train.optim import torch_adam
+    from mri_epilepsy_diagnosis_tpu.train.state import create_train_state
+
+    mesh = create_mesh(("data",))
+    # batch_norm=True on purpose: train-mode BN statistics must reduce over
+    # the GLOBAL batch under data sharding (GSPMD all-reduce), not per-shard
+    ae_kw = dict(c_in=1, c_base=4, inc_size=2, deapth=2, reduce_size=False,
+                 down_block_kwargs=dict(conv_k=6, conv_pad=2, conv_s=2,
+                                        maxpool_k=2, maxpool_s=2,
+                                        batch_norm=True, act="l_relu"))
+    head_kw = dict(c_in=8, c_out=16, conv_k=2, conv_s=1, conv_pad=0,
+                   l_in=16, l_out=8, batch_norm=True, act="relu", p_drop=0.0)
+    n_domains = 3
+    S = 32
+    x = jnp.asarray(rng.normal(size=(8, S, S, S, 1)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, 8), jnp.int32)
+    d = jnp.asarray(rng.integers(0, n_domains, 8), jnp.int32)
+    key = jax.random.key(5)
+    lam = jnp.float32(1e-3)
+
+    def run(shard):
+        enc = make_encoder(ae_kw)
+        clf = Classificator(n_class=2, **head_kw)
+        disc = Discriminator(n_domains=n_domains, **head_kw)
+        x0 = jnp.zeros((1, S, S, S, 1))
+        es = create_train_state(enc, torch_adam(7e-4), x0, jax.random.key(0))
+        latent0, _ = enc.apply(es.variables, x0)
+        fstate = FaderState(
+            encoder=es,
+            clf=create_train_state(clf, torch_adam(7e-4), latent0,
+                                   jax.random.key(0)),
+            disc=create_train_state(disc, torch_adam(5e-4), latent0,
+                                    jax.random.key(0)))
+        xs, ys, ds_ = x, y, d
+        if shard:
+            fstate = jax.device_put(fstate, NamedSharding(mesh, P()))
+            sh = NamedSharding(mesh, P("data"))
+            xs = jax.device_put(x, sh)
+            ys = jax.device_put(y, sh)
+            ds_ = jax.device_put(d, sh)
+        fstate, dl, _ = disc_step(fstate, xs, ds_, key, n_domains)
+        fstate, l, ladv, _ = enc_clf_step(fstate, xs, ys, ds_, lam, key,
+                                          n_domains)
+        return (float(dl), float(l)), fstate
+
+    losses_ref, f_ref = run(False)
+    losses_sh, f_sh = run(True)
+    np.testing.assert_allclose(losses_sh, losses_ref, rtol=1e-3, atol=1e-3)
+    for name, a_st, b_st in (("enc", f_sh.encoder, f_ref.encoder),
+                             ("clf", f_sh.clf, f_ref.clf),
+                             ("disc", f_sh.disc, f_ref.disc)):
+        for a, b in zip(jax.tree_util.tree_leaves(a_st.params),
+                        jax.tree_util.tree_leaves(b_st.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0.05, atol=5e-3, err_msg=name)
