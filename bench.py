@@ -243,22 +243,46 @@ def bench_serving_e2e(size, n_vols=32, batch=8):
     vols = [(rng.normal(size=(size, size, size)) * 200 + 600)
             .astype(np.int16) for _ in range(n_vols)]
 
-    def run_pipeline():
+    def run_pipeline(quant):
+        kw = (dict(transfer_quant="uint8") if quant
+              else dict(transfer_dtype=np.int16))
         t0 = time.perf_counter()
         outs = list(segment_volumes(
             model.apply, variables, vols, batch_size=batch,
-            dtype=jnp.bfloat16, transfer_dtype=np.int16,
-            device_preprocess=_serving_znorm, mask_fn=packed_unet_mask_v2,
-            pack_masks=True))
+            dtype=jnp.bfloat16, device_preprocess=_serving_znorm,
+            mask_fn=packed_unet_mask_v2, pack_masks=True, **kw))
         assert len(outs) == n_vols and outs[0]["mask"].shape == (size,) * 3
-        return time.perf_counter() - t0
+        return time.perf_counter() - t0, outs
 
-    run_pipeline()                     # compile + warm the transfer path
-    t_e2e = run_pipeline()
+    # int16 reference pass (compile + warm + reference masks)
+    run_pipeline(False)
+    t_int16, ref_outs = run_pipeline(False)
 
-    # pure-transfer pass: the same bytes up (int16 batches) and down
-    # (bit-packed masks, 8 voxels/byte), no compute
-    xb = np.stack(vols[:batch])[..., None]
+    # uint8 transfer pass (r5): halves the dominant upload term; gated on
+    # mask agreement vs the int16 path (the int8-PTQ gate pattern)
+    quant = False
+    t_e2e = t_int16
+    try:
+        run_pipeline(True)
+        t_u8, u8_outs = run_pipeline(True)
+        agree = float(np.mean([np.mean(a["mask"] == b["mask"])
+                               for a, b in zip(ref_outs, u8_outs)]))
+        print(f"# serving uint8: {n_vols / t_u8:.2f} vol/s vs int16 "
+              f"{n_vols / t_int16:.2f}, mask agreement {agree:.5f}",
+              flush=True)
+        if agree >= 0.999:
+            quant, t_e2e = True, t_u8
+    except Exception as e:
+        print(f"# serving uint8 pass failed: {type(e).__name__}", flush=True)
+
+    # pure-transfer pass: the same bytes up (uint8 or int16 batches) and
+    # down (bit-packed masks, 8 voxels/byte), no compute
+    if quant:
+        from mri_epilepsy_diagnosis_tpu.infer.serving import _quantize_u8
+        xb = np.stack([_quantize_u8(v[..., None])[0]
+                       for v in vols[:batch]])
+    else:
+        xb = np.stack(vols[:batch])[..., None]
     up = jax.device_put(xb)
     mask_dev = jnp.zeros((batch, size // 8, size, size), jnp.uint8)
     np.asarray(mask_dev)               # materialize before timing
@@ -287,8 +311,12 @@ def bench_serving_e2e(size, n_vols=32, batch=8):
 
     slowest = max(t_transfer, t_compute)
     efficiency = slowest / t_e2e if t_e2e > 0 else float("nan")
-    print(f"# serving e2e: {n_vols} vols in {t_e2e:.1f}s "
-          f"(transfer-only {t_transfer:.1f}s, compute-only {t_compute:.1f}s,"
+    moved = n_batches * (xb.nbytes + mask_dev.nbytes)
+    print(f"# serving e2e ({'uint8' if quant else 'int16'} transfers): "
+          f"{n_vols} vols in {t_e2e:.1f}s "
+          f"(transfer-only {t_transfer:.1f}s = "
+          f"{moved / t_transfer / 1e6:.0f} MB/s, "
+          f"compute-only {t_compute:.1f}s,"
           f" pipeline efficiency {efficiency:.2f})", flush=True)
     return n_vols / t_e2e, efficiency
 

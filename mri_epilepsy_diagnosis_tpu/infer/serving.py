@@ -44,13 +44,27 @@ def _unpackbits_host(packed, d):
     return bits[:, :d]
 
 
+def _quantize_u8(v):
+    """Host-side per-volume affine uint8 quantization: returns
+    (uint8 volume, float32 [offset, scale]) with v ~ q * scale + offset.
+    Inputs are T1w intensities (smooth, unimodal); 8 bits keeps mask
+    agreement >= 0.999 (tests/test_serving_quant.py gate)."""
+    v = np.asarray(v, np.float32)
+    mn = float(v.min())
+    scale = (float(v.max()) - mn) / 255.0
+    if scale <= 0.0:
+        scale = 1.0
+    q = np.clip(np.round((v - mn) / scale), 0, 255).astype(np.uint8)
+    return q, np.asarray([mn, scale], np.float32)
+
+
 def _serving_step(apply_fn, classify_fn, dtype, device_preprocess=None,
-                  mask_fn=None, pack_masks=False):
+                  mask_fn=None, pack_masks=False, transfer_quant=None):
     """One jitted step per (apply_fn, classify_fn, dtype, device_preprocess,
-    mask_fn, pack_masks): repeated segment_volumes calls must not re-trace
-    (remote compiles cost minutes)."""
+    mask_fn, pack_masks, transfer_quant): repeated segment_volumes calls
+    must not re-trace (remote compiles cost minutes)."""
     key = (apply_fn, classify_fn, jnp.dtype(dtype).name, device_preprocess,
-           mask_fn, pack_masks)
+           mask_fn, pack_masks, transfer_quant)
     if key in _STEP_CACHE:
         # LRU, not FIFO: re-insert on hit so a server cycling through many
         # step combos never evicts its hottest compiled step (remote
@@ -62,6 +76,12 @@ def _serving_step(apply_fn, classify_fn, dtype, device_preprocess=None,
 
         @jax.jit
         def step(variables, batch):
+            if transfer_quant == "uint8":
+                # device-side dequant of the 8-bit transfer: per-volume
+                # affine params ride alongside the batch (2 floats/vol)
+                q, qp = batch
+                aff = qp.reshape(qp.shape[0], 1, 1, 1, 1, 2)
+                batch = (q.astype(jnp.float32) * aff[..., 1] + aff[..., 0])
             if device_preprocess is not None:
                 batch = device_preprocess(batch)
             x = batch.astype(dtype)
@@ -95,17 +115,27 @@ def _serving_step(apply_fn, classify_fn, dtype, device_preprocess=None,
 
 
 def _batched(iterator: Iterable, batch_size: int):
+    """Batch volumes (or (volume, aux) tuples — the quantized-transfer
+    form) into fixed-size stacks, zero-padding the final partial batch."""
+
+    def stack(items, pad):
+        if isinstance(items[0], tuple):
+            return tuple(stack([it[i] for it in items], pad)
+                         for i in range(len(items[0])))
+        out = np.stack(items)
+        if pad:
+            out = np.concatenate(
+                [out, np.zeros((pad,) + out.shape[1:], out.dtype)])
+        return out
+
     buf = []
     for item in iterator:
         buf.append(item)
         if len(buf) == batch_size:
-            yield np.stack(buf), len(buf)
+            yield stack(buf, 0), len(buf)
             buf = []
     if buf:
-        pad = batch_size - len(buf)
-        yield np.concatenate([np.stack(buf),
-                              np.zeros((pad,) + buf[0].shape,
-                                       buf[0].dtype)]), len(buf)
+        yield stack(buf, batch_size - len(buf)), len(buf)
 
 
 def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
@@ -116,7 +146,8 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
                     device_preprocess: Optional[Callable] = None,
                     transfer_dtype=None,
                     mask_fn: Optional[Callable] = None,
-                    pack_masks: bool = False) -> Iterator[dict]:
+                    pack_masks: bool = False,
+                    transfer_quant: Optional[str] = None) -> Iterator[dict]:
     """Stream (D,H,W) or (D,H,W,1) volumes -> dicts with 'mask' (uint8) and
     optionally 'probs' from a classifier head.
 
@@ -149,14 +180,36 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
     smaller mask downloads on the transfer-bound tunnel.  Requires
     D %% 8 == 0; the yielded 'mask' arrays are identical to the unpacked
     path.
+
+    `transfer_quant="uint8"` halves the upload again vs int16: each volume
+    is affine-quantized to 8 bits on host (per-volume offset/scale ride
+    along as 2 floats) and dequantized inside the jitted step before
+    `device_preprocess`.  Inputs are the dominant transfer term (a 192^3
+    volume is 14.2 MB int16 / 7.1 MB uint8 vs 0.9 MB packed mask), and a
+    z-normalizing `device_preprocess` is affine-invariant, so the only
+    effect is the 8-bit rounding — mask agreement >= 0.999 is gated in
+    tests/test_serving_quant.py and reported by bench_serving_e2e.
     """
     if transfer_dtype is not None and preprocess is not None:
         raise ValueError(
             "transfer_dtype and (host) preprocess are mutually exclusive: "
             "host preprocessing reverts the batch to float before transfer; "
             "use device_preprocess instead")
+    if transfer_quant is not None:
+        if transfer_quant != "uint8":
+            raise ValueError(f"unknown transfer_quant {transfer_quant!r} "
+                             "(supported: 'uint8')")
+        if transfer_dtype is not None or preprocess is not None:
+            raise ValueError(
+                "transfer_quant replaces transfer_dtype and is incompatible "
+                "with host preprocess (use device_preprocess)")
 
     def prepare(vol):
+        if transfer_quant == "uint8":
+            v = np.asarray(vol)
+            if v.ndim == 3:
+                v = v[..., None]
+            return _quantize_u8(v)
         if transfer_dtype is not None:
             v = np.asarray(vol, transfer_dtype)
         else:
@@ -168,7 +221,7 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
         return v
 
     step = _serving_step(apply_fn, classify_fn, dtype, device_preprocess,
-                         mask_fn, pack_masks)
+                         mask_fn, pack_masks, transfer_quant)
 
     counts: list = []
     mask_w: list = []
@@ -178,13 +231,14 @@ def segment_volumes(apply_fn: Callable, variables, volumes: Iterable,
         # transfer — staging via jnp.asarray here would commit every batch
         # to device 0 first and pay the hop twice
         for arr, n in _batched((prepare(v) for v in volumes), batch_size):
-            if pack_masks and arr.shape[1] % 8:
+            vol_arr = arr[0] if isinstance(arr, tuple) else arr
+            if pack_masks and vol_arr.shape[1] % 8:
                 raise ValueError(
                     f"pack_masks needs the D dim divisible by 8, got "
-                    f"{arr.shape[1]} (binary masks only, e.g. the 2-class "
-                    f"segmenter)")
+                    f"{vol_arr.shape[1]} (binary masks only, e.g. the "
+                    f"2-class segmenter)")
             counts.append(n)
-            mask_w.append(arr.shape[1])
+            mask_w.append(vol_arr.shape[1])
             yield arr
 
     def drain(out, n, w):
