@@ -125,7 +125,9 @@ def voxresnet_apply_packed(model, variables, x, *, train=False, rng=None):
     w1 = params["model__conv3d_1"]["weight"]
     b1 = params["model__conv3d_1"].get("bias")
     if model.stride == 2:
-        y = P.conv_input_packed_s2(x, P.pack_input_weights_s2(w1), b1)
+        # pack4 + k2-dense form: 2x the fused-k5 stem's step share
+        # (experiments/voxresnet_stem_ab.py)
+        y = P.conv_input_packed_s2_p4(x, P.pack_input_weights_s2_p4(w1), b1)
         f = s // 2
     else:
         y = P.conv_input_packed(x, P.pack_input_weights(w1), b1)

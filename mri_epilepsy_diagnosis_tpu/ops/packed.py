@@ -1020,6 +1020,74 @@ def conv_input_packed_s2(x_fine, wp, bias=None):
     return y
 
 
+@functools.lru_cache(maxsize=None)
+def _pack4_identity_kernel(ci: int):
+    """(4,4,4,Ci,64Ci) identity space-to-depth kernel (stride-4 VALID):
+    pack4 channel = (s4d, s4h, s4w, ci) sub-position-major."""
+    k = np.zeros((4, 4, 4, ci, 64 * ci), np.float32)
+    for a in range(4):
+        for b in range(4):
+            for c in range(4):
+                sub = (a * 4 + b) * 4 + c
+                for i in range(ci):
+                    k[a, b, c, i, sub * ci + i] = 1.0
+    return k
+
+
+@functools.lru_cache(maxsize=None)
+def _axis_table_s2_p4():
+    """Per-axis table A[t, r, wpos, s4] for the pack4-input stem: shifted
+    output sub r's tap t reads pack4 window cell `wpos` sub4 `s4`
+    (j = 2r + t; j <= 2 -> (0, j+1), else (1, j-3))."""
+    a = np.zeros((3, 2, 2, 4), np.float32)
+    for t in range(3):
+        for r in range(2):
+            j = 2 * r + t
+            if j <= 2:
+                a[t, r, 0, j + 1] = 1.0
+            else:
+                a[t, r, 1, j - 3] = 1.0
+    return a
+
+
+def pack_input_weights_s2_p4(w):
+    """Fine (3,3,3,Ci,Co) stride-2 stem kernel -> (2,2,2,64Ci,8Co) for
+    `conv_input_packed_s2_p4` (consumes the pack4 layout)."""
+    ci, co = w.shape[3], w.shape[4]
+    a = jnp.asarray(_axis_table_s2_p4(), w.dtype)
+    wp = jnp.einsum("arek,bsfl,ctgm,abcio->efgklmirsto", a, a, a, w)
+    return wp.reshape(2, 2, 2, 64 * ci, 8 * co)
+
+
+def conv_input_packed_s2_p4(x_fine, wk, bias=None):
+    """Fine (N,S,S,S,Ci) -> SHIFTED packed (N,S/4+1,...,8Co) at fine res
+    S/2: a fine k=3/s=2/p=1 stem conv as [identity pack4 conv (pure data
+    movement, constant kernel — no dw) + one dense k=2/s=1/p=1 conv over
+    the pack4 cells].
+
+    Replaces the fused k=5/stride-4 form (`conv_input_packed_s2`) on TPU:
+    that one lowers to the AllInputFeaturePackedInSublanes emitter at
+    Ci=1 — 35.4 ms fwd+dw at 192^3 b10 vs 17.2 for this form
+    (experiments/voxresnet_stem_ab.py, r5).  Every contraction here is
+    fat (K = 8 * 64Ci); the only gradient term is this conv's dw.
+    Shifted pad voxels hold zero-pad extrapolation — `zero_shifted_pads`
+    before batch statistics."""
+    ci = x_fine.shape[-1]
+    k4 = jnp.asarray(_pack4_identity_kernel(ci), x_fine.dtype)
+    xp4 = lax.conv_general_dilated(
+        x_fine, k4, window_strides=(4, 4, 4), padding="VALID",
+        dimension_numbers=F.CONV3D_DIMS,
+        precision=F._precision_for(x_fine.dtype)).astype(x_fine.dtype)
+    y = lax.conv_general_dilated(
+        xp4, wk.astype(x_fine.dtype), (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=F.CONV3D_DIMS,
+        preferred_element_type=F._preferred_for(x_fine, jnp.float32),
+        precision=F._precision_for(x_fine.dtype)).astype(x_fine.dtype)
+    if bias is not None:
+        y = y + jnp.tile(bias, 8).astype(y.dtype)
+    return y
+
+
 def maxpool2_packed_cascade(xp):
     """maxpool2 via three lane-block max halvings + pack2 (no (…,8,C)
     sub-axis reshape of the full tensor)."""

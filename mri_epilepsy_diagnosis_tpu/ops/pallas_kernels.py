@@ -231,3 +231,64 @@ def bn_act_zero_pads(xs, scale, shift, alpha, masks, *,
       jnp.asarray(md, xs.dtype)[:, None, :],
       mh.astype(xs.dtype), mw.astype(xs.dtype))
     return out
+
+
+# ---------------------------------------------------------------------------
+# k=2 packed conv (the shifted->aligned ConvBlock core) — VERDICT r4 #5
+#
+# The bf16 192^3 train step spends ~21% in XLA relayout copies around the
+# shifted-conv jvp chains (experiments/copy_hunt.py), and every JAX-level
+# lever is a recorded negative.  This kernel is the one genuinely new lever:
+# the (2,2,2,8Ci,8Co) packed conv expressed inside this toolchain's Mosaic
+# envelope — the 8 cell taps split over FOUR pallas_calls of <= 2
+# overlapping-window dots each ((qd, qh) chosen per call via BlockSpec row
+# offsets, the two qw taps as in-kernel static slices), partials
+# accumulated through an aliased accumulator.
+# ---------------------------------------------------------------------------
+
+
+def _conv2_tap_kernel(x_ref, w_ref, acc_ref, out_ref, *, qh, h, wdim):
+    x = x_ref[...]                       # (1, 1, H+1, W+1, C8i)
+    a = x[0, 0, qh:qh + h, 0:wdim, :].reshape(h * wdim, x.shape[-1])
+    b = x[0, 0, qh:qh + h, 1:wdim + 1, :].reshape(h * wdim, x.shape[-1])
+    y = jnp.dot(a, w_ref[0], preferred_element_type=jnp.float32)
+    y = y + jnp.dot(b, w_ref[1], preferred_element_type=jnp.float32)
+    out_ref[...] = (acc_ref[...].astype(jnp.float32)
+                    + y.reshape(acc_ref.shape)).astype(out_ref.dtype)
+
+
+def conv2_packed_pallas(xs, wp, *, interpret: bool = False):
+    """Shifted packed (N, D+1, H+1, W+1, 8Ci) -> aligned (N, D, H, W, 8Co):
+    the `ops.packed.conv3_packed` forward as 4 Mosaic kernels.
+
+    Numerics: partials round to xs.dtype between the four calls (the XLA
+    conv accumulates all 8 taps in f32 before one cast) — bf16-level
+    difference, same as the training dtype."""
+    n, d1, h1, w1, c8i = xs.shape
+    d, h, wdim = d1 - 1, h1 - 1, w1 - 1
+    c8o = wp.shape[-1]
+    out = jnp.zeros((n, d, h, wdim, c8o), xs.dtype)
+    for qd in range(2):
+        for qh in range(2):
+            w2 = wp[qd, qh].astype(xs.dtype)          # (2, 8Ci, 8Co)
+            out = pl.pallas_call(
+                functools.partial(_conv2_tap_kernel, qh=qh, h=h, wdim=wdim),
+                out_shape=jax.ShapeDtypeStruct(out.shape, out.dtype),
+                grid=(n, d),
+                in_specs=[
+                    pl.BlockSpec((1, 1, h1, w1, c8i),
+                                 lambda i, j, _q=qd: (i, j + _q, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2, c8i, c8o), lambda i, j: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, h, wdim, c8o),
+                                 lambda i, j: (i, j, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, 1, h, wdim, c8o),
+                                       lambda i, j: (i, j, 0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                input_output_aliases={2: 0},
+                interpret=interpret,
+            )(xs, w2, out)
+    return out
