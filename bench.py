@@ -583,13 +583,19 @@ def bench_aux_workloads(on_tpu, iters):
     # soloviev sample at 192^3 b10 on a P100 (~2.1 vol/s, frozen-backbone
     # transfer; full_sample_classification.ipynb cells 19/21).  This
     # benches the FULL fwd+bwd step — strictly more work per volume.
+    # Headline since r5: the packed-layout trunk (48.7 vs 31.7 vol/s fine —
+    # models/voxresnet_packed.py, experiments/voxresnet_packed_ab.py);
+    # fine layouts as fallbacks.
     try:
         from mri_epilepsy_diagnosis_tpu.models import VoxResNet
+        from mri_epilepsy_diagnosis_tpu.models.voxresnet_packed import (
+            voxresnet_class_step_packed)
         from mri_epilepsy_diagnosis_tpu.train.accum import (
             class_train_step_accum)
         if not on_tpu:
             raise RuntimeError("VoxResNet geometry needs the 192^3 crop")
-        for b, micro, dt in ((10, 0, "bf16"), (10, 5, "bf16"), (4, 0, "bf16")):
+        for b, micro, layout in ((10, 0, "packed"), (10, 0, "fine"),
+                                 (10, 5, "fine"), (4, 0, "fine")):
             try:
                 with _deadline(600):
                     model = VoxResNet(input_shape=(192,) * 3, n_filters=32,
@@ -603,7 +609,10 @@ def bench_aux_workloads(on_tpu, iters):
                     y = jnp.asarray(rng.integers(0, 2, b), jnp.int32)
 
                     def _one(st):
-                        if micro:
+                        if layout == "packed":
+                            st, loss, _ = voxresnet_class_step_packed(
+                                st, x, y, key, model=model)
+                        elif micro:
                             st, loss, _ = class_train_step_accum(
                                 st, x, y, key, micro=micro)
                         else:
@@ -617,12 +626,12 @@ def bench_aux_workloads(on_tpu, iters):
                         st, loss = _one(st)
                     float(loss)
                     out["voxresnet"] = b * iters / (time.perf_counter() - t0)
-                    out["voxresnet_config"] = f"{dt}_b{b}" + (
+                    out["voxresnet_config"] = f"{layout}_bf16_b{b}" + (
                         f"_micro{micro}" if micro else "")
                     break
             except Exception as e:
-                print(f"# voxresnet b{b} micro={micro} bench failed: "
-                      f"{type(e).__name__}", flush=True)
+                print(f"# voxresnet b{b} {layout} micro={micro} bench "
+                      f"failed: {type(e).__name__}", flush=True)
     except Exception as e:
         if on_tpu:
             print(f"# voxresnet bench setup failed: {type(e).__name__}",

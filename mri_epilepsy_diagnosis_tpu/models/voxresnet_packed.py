@@ -34,6 +34,7 @@ this path is benchmarked against).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,13 @@ import numpy as np
 from ..ops import functional as F
 from ..ops import packed as P
 from .unet_packed import _bn_train_packed
+
+# Gradient rules for the k=2 packed convs: XLA's own conv gradients win at
+# the VoxResNet b10 classification shapes (48.7 vs 34.1 vol/s, and the
+# custom-VJP graph with the pack4 stem wedges the remote compiler) —
+# opposite of the 192^3 b1/b2 seg-training shapes where the qgroup VJPs
+# are ~2x faster (experiments/voxresnet_packed_ab.py r5 vs bwd_profile r2).
+_CUSTOM_VJP = os.environ.get("MRI_TPU_VOX_VJP", "xla") == "qgroup"
 
 
 def _relu(x):
@@ -72,13 +80,15 @@ def _basic_block_packed(xp, params, stats, *, train, fine_size, batch):
     """BasicBlock (conv-bn-relu-conv-bn + identity, relu) on ALIGNED packed
     input, returning ALIGNED packed output (models/cnn.py::BasicBlock)."""
     new = {}
-    y = P.conv3_packed_as(xp, P.pack_weights2_as(params["conv1"]["weight"]))
+    y = P.conv3_packed_as(xp, P.pack_weights2_as(params["conv1"]["weight"]),
+                          custom_vjp=_CUSTOM_VJP)
     y, ns = _bn_packed(y, params["bn1"], stats["bn1"], train=train,
                        shifted=True, fine_size=fine_size, batch=batch)
     if ns is not None:
         new["bn1"] = ns
     y = P.zero_shifted_pads(_relu(y))
-    y = P.conv3_packed(y, P.pack_weights2(params["conv2"]["weight"]))
+    y = P.conv3_packed(y, P.pack_weights2(params["conv2"]["weight"]),
+                       custom_vjp=_CUSTOM_VJP)
     y, ns = _bn_packed(y, params["bn2"], stats["bn2"], train=train,
                        shifted=False, fine_size=fine_size, batch=batch)
     if ns is not None:
@@ -126,8 +136,13 @@ def voxresnet_apply_packed(model, variables, x, *, train=False, rng=None):
     b1 = params["model__conv3d_1"].get("bias")
     if model.stride == 2:
         # pack4 + k2-dense form: 2x the fused-k5 stem's step share
-        # (experiments/voxresnet_stem_ab.py)
-        y = P.conv_input_packed_s2_p4(x, P.pack_input_weights_s2_p4(w1), b1)
+        # (experiments/voxresnet_stem_ab.py); MRI_TPU_VOX_STEM=k5 restores
+        # the fused k5/s4 form for A/B
+        if os.environ.get("MRI_TPU_VOX_STEM", "p4") == "k5":
+            y = P.conv_input_packed_s2(x, P.pack_input_weights_s2(w1), b1)
+        else:
+            y = P.conv_input_packed_s2_p4(
+                x, P.pack_input_weights_s2_p4(w1), b1)
         f = s // 2
     else:
         y = P.conv_input_packed(x, P.pack_input_weights(w1), b1)
@@ -135,7 +150,8 @@ def voxresnet_apply_packed(model, variables, x, *, train=False, rng=None):
     y = bn(y, "model__batch_norm_1", shifted=True, fine_size=f)
     y = P.zero_shifted_pads(_relu(y))
     xp = P.conv3_packed(y, P.pack_weights2(params["model__conv3d_2"]["weight"]),
-                        params["model__conv3d_2"].get("bias"))
+                        params["model__conv3d_2"].get("bias"),
+                        custom_vjp=_CUSTOM_VJP)
     xp = _relu(bn(xp, "model__batch_norm_2", shifted=False, fine_size=f))
 
     # ---- stages: downsample (aligned->aligned) + 2 blocks + stage BN

@@ -264,15 +264,23 @@ def _pin_layout(x):
     return jl.with_layout_constraint(x, jl.Layout(m2m))
 
 
-def conv3_packed(xp_shifted, wp, bias=None):
+def conv3_packed(xp_shifted, wp, bias=None, custom_vjp=None):
     """k=2 VALID conv over shifted-packed input == fine k=3/pad=1 conv.
 
     xp_shifted: (N, S/2+1, ..., 8Ci)  (from pack2_shifted/repack_shifted)
     wp:         (2, 2, 2, 8Ci, 8Co)   (from pack_weights2)
     bias:       fine (Co,) — tiled over sub-positions here.
     Returns aligned packed output (N, S/2, ..., 8Co).
+
+    `custom_vjp` (default: the MRI_TPU_PACKED_VJP env, on) picks the
+    hand-rolled qgroup gradient rules — ~2x faster AND the only compiling
+    form at the 192^3 b1/b2 seg-training shapes, but a LOSS at the
+    VoxResNet b10 classification shapes, where XLA's own conv gradients
+    run the step at 48.7 vs 34.1 vol/s (experiments/voxresnet_packed_ab.py
+    r5) — shape-dependent, so per-call.
     """
-    y = (_conv3_packed_core(xp_shifted, wp) if _USE_CUSTOM_VJP
+    use = _USE_CUSTOM_VJP if custom_vjp is None else custom_vjp
+    y = (_conv3_packed_core(xp_shifted, wp) if use
          else _conv3_packed_raw(xp_shifted, wp))
     y = _pin_layout(y)
     if bias is not None:
@@ -468,15 +476,17 @@ def _conv3_packed_as_bwd(res, g):
 _conv3_packed_as_core.defvjp(_conv3_packed_as_fwd, _conv3_packed_as_bwd)
 
 
-def conv3_packed_as(xp_aligned, wp, bias=None):
+def conv3_packed_as(xp_aligned, wp, bias=None, custom_vjp=None):
     """Fine k=3/pad=1 conv as a k=2/pad=1 packed conv, aligned -> shifted.
 
     xp_aligned: (N, S/2, ..., 8Ci); wp from `pack_weights2_as`.
     Returns shifted packed output (N, S/2+1, ..., 8Co) whose pad voxels
     (fine -1 and S per axis) hold the conv's pad-extrapolation — zero, as
     long as the input's own pads are honoured by the conv's zero padding.
+    `custom_vjp`: see `conv3_packed` — per-call gradient-rule choice.
     """
-    y = (_conv3_packed_as_core(xp_aligned, wp) if _USE_CUSTOM_VJP
+    use = _USE_CUSTOM_VJP if custom_vjp is None else custom_vjp
+    y = (_conv3_packed_as_core(xp_aligned, wp) if use
          else _conv3_packed_as_raw(xp_aligned, wp))
     y = _pin_layout(y)
     if bias is not None:
