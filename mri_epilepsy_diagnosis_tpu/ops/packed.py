@@ -196,6 +196,15 @@ def _dw_packed_qgroup(x_padded, g):
 
 
 def _conv3_packed_raw(xp_shifted, wp):
+    if (os.environ.get("MRI_TPU_PALLAS_CONV2", "0") == "1"
+            and xp_shifted.shape[-1] >= 64):
+        # Mosaic 4x2-tap kernel (experiments/pallas_conv2_ab.py): 1.69x
+        # SLOWER standalone at the dec1 shape; opt-in for the in-graph
+        # copy-elimination A/B only (VERDICT r4 #5).  <64-lane sites stay
+        # on the lax conv (Mosaic rejects the thin-minor reshape).
+        from .pallas_kernels import conv2_packed_pallas
+
+        return conv2_packed_pallas(xp_shifted, wp)
     return lax.conv_general_dilated(
         xp_shifted, wp.astype(xp_shifted.dtype),
         window_strides=(1, 1, 1), padding="VALID",
@@ -436,6 +445,17 @@ def pack_weights2_as(w):
 
 
 def _conv3_packed_as_raw(xp_aligned, wp):
+    if os.environ.get("MRI_TPU_PALLAS_CONV2_AS", "0") == "1":
+        # the pad-1 aligned->shifted conv as the same Mosaic kernel over a
+        # one-cell zero-padded input.  DOES NOT COMPILE at the production
+        # 97^3-cell sites: the (1,1,98,98,128) block's f32 dot temps need
+        # 17.02M of the 16M VMEM stack, and Mosaic rejects bf16 matmul
+        # accumulators, so the temps cannot shrink.  Kept for small-shape
+        # experiments only (docs/PERFORMANCE.md r5).
+        from .pallas_kernels import conv2_packed_pallas
+
+        xpad = jnp.pad(xp_aligned, ((0, 0),) + ((1, 1),) * 3 + ((0, 0),))
+        return conv2_packed_pallas(xpad, wp)
     return lax.conv_general_dilated(
         xp_aligned, wp.astype(xp_aligned.dtype),
         window_strides=(1, 1, 1), padding=[(1, 1)] * 3,

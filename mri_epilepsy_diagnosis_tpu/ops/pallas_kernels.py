@@ -251,6 +251,11 @@ def _conv2_tap_kernel(x_ref, w_ref, acc_ref, out_ref, *, qh, h, wdim):
     x = x_ref[...]                       # (1, 1, H+1, W+1, C8i)
     a = x[0, 0, qh:qh + h, 0:wdim, :].reshape(h * wdim, x.shape[-1])
     b = x[0, 0, qh:qh + h, 1:wdim + 1, :].reshape(h * wdim, x.shape[-1])
+    # f32 dot temps: Mosaic REQUIRES a 32-bit matmul accumulator ("Expected
+    # matmul acc to be 32-bit" when preferred_element_type=bf16), which is
+    # also why the 98^3-block aligned->shifted sites cannot compile — their
+    # f32 temps exceed the 16M VMEM stack (17.02M).  Both walls recorded in
+    # docs/PERFORMANCE.md (r5 Mosaic-conv closure).
     y = jnp.dot(a, w_ref[0], preferred_element_type=jnp.float32)
     y = y + jnp.dot(b, w_ref[1], preferred_element_type=jnp.float32)
     out_ref[...] = (acc_ref[...].astype(jnp.float32)
