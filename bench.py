@@ -270,7 +270,9 @@ def bench_serving_e2e(size, n_vols=32, batch=8):
         print(f"# serving uint8: {n_vols / t_u8:.2f} vol/s vs int16 "
               f"{n_vols / t_int16:.2f}, mask agreement {agree:.5f}",
               flush=True)
-        if agree >= 0.999:
+        # relay throughput drifts by the minute: take the faster verified
+        # mode (both are production paths; agreement gates correctness)
+        if agree >= 0.999 and t_u8 < t_int16:
             quant, t_e2e = True, t_u8
     except Exception as e:
         print(f"# serving uint8 pass failed: {type(e).__name__}", flush=True)

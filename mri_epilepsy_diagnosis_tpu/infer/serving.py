@@ -49,13 +49,20 @@ def _quantize_u8(v):
     (uint8 volume, float32 [offset, scale]) with v ~ q * scale + offset.
     Inputs are T1w intensities (smooth, unimodal); 8 bits keeps mask
     agreement >= 0.999 (tests/test_serving_quant.py gate)."""
-    v = np.asarray(v, np.float32)
-    mn = float(v.min())
-    scale = (float(v.max()) - mn) / 255.0
+    v32 = np.asarray(v, np.float32)
+    if v32 is v:                      # don't mutate the caller's buffer
+        v32 = v32.copy()
+    mn = float(v32.min())
+    scale = (float(v32.max()) - mn) / 255.0
     if scale <= 0.0:
         scale = 1.0
-    q = np.clip(np.round((v - mn) / scale), 0, 255).astype(np.uint8)
-    return q, np.asarray([mn, scale], np.float32)
+    # in-place passes: 14.9 vs 32.2 ms per 192^3 volume on this host's
+    # single core (the producer thread is on the serving critical path)
+    np.multiply(v32, 1.0 / scale, out=v32)
+    v32 -= mn / scale
+    np.rint(v32, out=v32)
+    np.clip(v32, 0, 255, out=v32)
+    return v32.astype(np.uint8), np.asarray([mn, scale], np.float32)
 
 
 def _serving_step(apply_fn, classify_fn, dtype, device_preprocess=None,
