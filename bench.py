@@ -596,8 +596,13 @@ def bench_aux_workloads(on_tpu, iters):
             class_train_step_accum)
         if not on_tpu:
             raise RuntimeError("VoxResNet geometry needs the 192^3 crop")
-        for b, micro, layout in ((10, 0, "packed"), (10, 0, "fine"),
-                                 (10, 5, "fine"), (4, 0, "fine")):
+        # b16 runs the same 206 ms step as b10 (latency-bound at b10):
+        # 77.4 vs 48.7 vol/s; b24 adds little (79.6 at 301 ms) — b16 is
+        # the knee.  The reference's own config (b10) stays the first
+        # fallback for apples-to-apples step comparisons.
+        for b, micro, layout in ((16, 0, "packed"), (10, 0, "packed"),
+                                 (10, 0, "fine"), (10, 5, "fine"),
+                                 (4, 0, "fine")):
             try:
                 with _deadline(600):
                     model = VoxResNet(input_shape=(192,) * 3, n_filters=32,
